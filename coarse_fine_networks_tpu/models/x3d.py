@@ -1,0 +1,159 @@
+"""X3D trunk building blocks, channels-last (B, T, H, W, C).
+
+Structure mirrors the reference X3D-M backbone (``x3d_fine.py:108-405``,
+duplicated at ``x3d_coarse.py:106-172``): stem = spatial 1×3×3/s(1,2,2) conv +
+depthwise temporal 5×1×1 conv; four stages of bottlenecks with depthwise 3³
+convs, SE on even blocks, Swish; head conv5 + bn5.
+
+Depthwise 3-D convs lower to ``lax.conv_general_dilated`` with
+``feature_group_count=C`` — channels-last keeps C in the lane dimension so the
+VPU handles them well; pointwise 1×1×1 convs are matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import SubBatchNorm, SqueezeExcite, kaiming_normal, swish
+
+
+def get_inplanes(version: str) -> list[Tuple[int, int]]:
+    """(mid, out) channel table per stage (x3d_fine.py:388-393)."""
+    planes = {
+        "S": [(54, 24), (108, 48), (216, 96), (432, 192)],
+        "M": [(54, 24), (108, 48), (216, 96), (432, 192)],
+        "XL": [(72, 32), (162, 72), (306, 136), (630, 280)],
+    }
+    return planes[version]
+
+
+def get_blocks(version: str) -> list[int]:
+    """Blocks per stage (x3d_fine.py:395-400)."""
+    blocks = {"S": [3, 5, 11, 7], "M": [3, 5, 11, 7], "XL": [5, 10, 25, 15]}
+    return blocks[version]
+
+
+class Bottleneck(nn.Module):
+    """X3D bottleneck (x3d_fine.py:108-175): 1×1×1 expand → depthwise 3³
+    (+stride) → SE (even index) → Swish → 1×1×1 project → residual + ReLU."""
+
+    mid_planes: int
+    out_planes: int
+    stride: int = 1
+    use_se: bool = False
+    has_downsample: bool = False
+    t_downsample: bool = False  # fine-only: stride T too (x3d_fine.py:93)
+    bn_splits: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        s = self.stride
+        strides = (s, s, s) if self.t_downsample else (1, s, s)
+        residual = x
+
+        out = nn.Conv(self.mid_planes, (1, 1, 1), use_bias=False, name="conv1",
+                      kernel_init=kaiming_normal, dtype=x.dtype)(x)
+        out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn1")(out, train)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            self.mid_planes, (3, 3, 3), strides=strides, padding=1,
+            feature_group_count=self.mid_planes, use_bias=False, name="conv2",
+            kernel_init=kaiming_normal, dtype=x.dtype,
+        )(out)
+        out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn2")(out, train)
+
+        if self.use_se:
+            out = SqueezeExcite(self.mid_planes, name="se")(out)
+        out = swish(out)
+
+        out = nn.Conv(self.out_planes, (1, 1, 1), use_bias=False, name="conv3",
+                      kernel_init=kaiming_normal, dtype=x.dtype)(out)
+        out = SubBatchNorm(self.out_planes, self.bn_splits, name="bn3")(out, train)
+
+        if self.has_downsample:
+            residual = nn.Conv(
+                self.out_planes, (1, 1, 1), strides=strides, use_bias=False,
+                name="downsample_conv", kernel_init=kaiming_normal, dtype=x.dtype,
+            )(x)
+            residual = SubBatchNorm(
+                self.out_planes, self.bn_splits, name="downsample_bn"
+            )(residual, train)
+
+        return nn.relu(out + residual)
+
+
+class X3DStage(nn.Module):
+    """A residual stage (``_make_layer``, x3d_fine.py:277-306).
+
+    The SE flag alternates with a per-stage-resetting block index
+    (``self.index = 0`` at x3d_fine.py:305 makes even-indexed blocks within
+    each stage carry SE).
+    """
+
+    mid_planes: int
+    out_planes: int
+    num_blocks: int
+    stride: int = 2
+    t_downsample: bool = False
+    bn_splits: int = 1
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        block_cls = Bottleneck
+        if self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        for i in range(self.num_blocks):
+            x = block_cls(
+                mid_planes=self.mid_planes,
+                out_planes=self.out_planes,
+                stride=self.stride if i == 0 else 1,
+                use_se=(i % 2 == 0),
+                has_downsample=(i == 0),
+                t_downsample=self.t_downsample,
+                bn_splits=self.bn_splits,
+                name=f"block{i}",
+            )(x, train)
+        return x
+
+
+class X3DStem(nn.Module):
+    """Stem: spatial conv1_s + depthwise temporal conv1_t + bn1 + relu
+    (x3d_fine.py:210-224)."""
+
+    planes: int
+    bn_splits: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(
+            self.planes, (1, 3, 3), strides=(1, 2, 2), padding=(0, 1, 1),
+            use_bias=False, name="conv1_s", kernel_init=kaiming_normal,
+            dtype=x.dtype,
+        )(x)
+        x = nn.Conv(
+            self.planes, (5, 1, 1), padding=(2, 0, 0),
+            feature_group_count=self.planes, use_bias=False, name="conv1_t",
+            kernel_init=kaiming_normal, dtype=x.dtype,
+        )(x)
+        x = SubBatchNorm(self.planes, self.bn_splits, name="bn1")(x, train)
+        return nn.relu(x)
+
+
+class X3DHead(nn.Module):
+    """conv5 + bn5 + relu (x3d_fine.py:245-251)."""
+
+    out_planes: int
+    bn_splits: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(self.out_planes, (1, 1, 1), use_bias=False, name="conv5",
+                    kernel_init=kaiming_normal, dtype=x.dtype)(x)
+        x = SubBatchNorm(self.out_planes, self.bn_splits, name="bn5")(x, train)
+        return nn.relu(x)
