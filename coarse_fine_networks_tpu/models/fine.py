@@ -1,0 +1,85 @@
+"""Fine-stream X3D network (re-design of ``x3d_fine.py:179-405``).
+
+Layout is channels-last ``(B, T, H, W, C)`` and logits are time-major
+``(B, T, n_classes)`` (the reference returns ``B C T``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pools import adaptive_avg_pool_spatial
+from .layers import kaiming_normal
+from .x3d import X3DHead, X3DStage, X3DStem, get_blocks, get_inplanes
+
+# Spatial size of the global-tower feature taps (x3d_fine.py:345-360).
+TOWER_HW = 7
+FEAT_KEYS = ("layer1", "layer2", "layer3", "layer4", "conv5")
+
+
+class FineNet(nn.Module):
+    """X3D Fine stream.
+
+    Modes (mirroring ``x3d_fine.py:331-382``):
+
+    * default: per-frame (``task='loc'``) or per-clip (``task='class'``)
+      logits;
+    * ``extract_feat=True``: pooled head features before fc1;
+    * ``global_tower=True``: dict of 5 intermediate features average-pooled to
+      ``(T, 7, 7)`` — the cached-fine-feature bank consumed by the Coarse
+      stream (``extract_fineFEAT.py:168-173``).
+    """
+
+    version: str = "M"
+    n_classes: int = 400
+    task: str = "loc"
+    dropout_rate: float = 0.5
+    bn_splits: int = 1
+    t_downsample: bool = False
+    extract_feat: bool = False
+    global_tower: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        planes = get_inplanes(self.version)
+        blocks = get_blocks(self.version)
+        x = x.astype(self.compute_dtype)
+
+        x = X3DStem(planes[0][1], self.bn_splits, name="stem")(x, train)
+
+        feat_g: Dict[str, jax.Array] = {}
+        for i, ((mid, out), nblocks) in enumerate(zip(planes, blocks)):
+            x = X3DStage(
+                mid, out, nblocks, stride=2, t_downsample=self.t_downsample,
+                bn_splits=self.bn_splits, remat=self.remat, name=f"layer{i + 1}",
+            )(x, train)
+            if self.global_tower:
+                feat_g[f"layer{i + 1}"] = adaptive_avg_pool_spatial(x, TOWER_HW)
+
+        x = X3DHead(planes[3][0], self.bn_splits, name="head")(x, train)
+        if self.global_tower:
+            feat_g["conv5"] = adaptive_avg_pool_spatial(x, TOWER_HW)
+            return feat_g
+
+        # Task pooling (x3d_fine.py:252-255, 366): 'loc' keeps T.
+        if self.task == "class":
+            x = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        else:
+            x = jnp.mean(x, axis=(2, 3), keepdims=True)
+        if self.extract_feat:
+            return x
+
+        x = nn.Conv(2048, (1, 1, 1), use_bias=False, name="fc1",
+                    kernel_init=kaiming_normal, dtype=x.dtype)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], x.shape[1], 2048)  # (B, T, 2048); T=1 if class
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.n_classes, name="fc2",
+                     dtype=self.compute_dtype)(x.astype(self.compute_dtype))
+        return x.astype(jnp.float32)  # (B, T, n_classes)
