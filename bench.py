@@ -1,0 +1,108 @@
+"""Benchmark: Coarse-stream training step throughput on one TPU chip.
+
+Measures the BASELINE.json config #3 workload — Coarse stream + GridPool /
+GridUnpool + multi-stage fusion, forward+backward+SGD update, batch 8 at the
+published training shapes (clip T=64 @ 224², cached fine features T=128) — and
+reports clips/sec/chip.
+
+Baseline: the reference trains this stage at ~9.3 clips/s aggregate across
+5 CUDA GPUs (`log_coarse_fine_train.txt:1,17-19`) ⇒ ~1.86 clips/s/GPU.
+``vs_baseline`` is clips/sec/chip ÷ 1.86.
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CLIPS_PER_CHIP = 9.3 / 5  # reference clips/s per GPU
+
+B = int(os.environ.get("BENCH_BATCH", 8))
+T = int(os.environ.get("BENCH_T", 64))        # frames 80*4 / gamma_tau 10
+HW = int(os.environ.get("BENCH_HW", 224))
+TF = int(os.environ.get("BENCH_TF", 128))     # fine-feature cap (collate)
+TL = int(os.environ.get("BENCH_TL", 640))     # label length
+N_CLASSES = 157
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from coarse_fine_networks_tpu.models import CoarseNet
+    from coarse_fine_networks_tpu.train import TrainState, make_train_step
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "clips": jnp.asarray(rng.rand(B, T, HW, HW, 3), jnp.float32),
+        "feats": {
+            k: jnp.asarray(rng.rand(B, TF, 7, 7, c), jnp.float32)
+            for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
+                         ("layer4", 192), ("conv5", 432)]
+        },
+        "feat_mask": jnp.ones((B, TF), jnp.float32),
+        "meta": jnp.asarray([[0, T, 2 * T, 1]] * B, jnp.int32),
+        "labels": jnp.asarray((rng.rand(B, TL, N_CLASSES) > 0.9), jnp.float32),
+        "masks": jnp.ones((B, TL), jnp.float32),
+    }
+
+    model = CoarseNet(version="M", n_classes=N_CLASSES, task="loc",
+                      t_pool="grid", learned_mixing=True, is_mixing=True,
+                      compute_dtype=DTYPE,
+                      remat=os.environ.get("BENCH_REMAT", "0") == "1")
+    log(f"init: B={B} T={T} HW={HW} TF={TF} dtype={DTYPE.__name__} "
+        f"device={jax.devices()[0]}")
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, batch["clips"],
+                           batch["feats"], batch["feat_mask"], batch["meta"],
+                           False)
+    )()
+    state = TrainState.create(variables)
+    log(f"init done in {time.time() - t0:.1f}s")
+
+    step = make_train_step(model, align_corners=False, fusion_lr_mult=10.0)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.asarray(0.02)
+
+    t0 = time.time()
+    state, metrics = step(state, batch, lr, key)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.time() - t0:.1f}s  "
+        f"loss={float(metrics['loss']):.4f}")
+
+    # warmup
+    for _ in range(2):
+        state, metrics = step(state, batch, lr, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch, lr, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / STEPS
+    clips_per_sec = B / dt
+    log(f"step time {dt * 1e3:.1f} ms  loss={float(metrics['loss']):.4f}")
+
+    print(json.dumps({
+        "metric": "coarse_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip (fwd+bwd+update, B8 T64 224^2 bf16)",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

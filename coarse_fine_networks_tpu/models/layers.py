@@ -95,9 +95,9 @@ class SubBatchNorm(nn.Module):
             )
             xn = xn.reshape(x.shape)
             if not self.is_initializing():
-                count = (n // s) * int(
-                    jnp.prod(jnp.asarray([x.shape[a] for a in reduce_axes]))
-                )
+                count = n // s
+                for a in reduce_axes:
+                    count *= x.shape[a]
                 unbiased = var * (count / max(count - 1, 1))
                 m = self.momentum
                 sp_mean.value = (1 - m) * sp_mean.value + m * mean.reshape(-1)

@@ -1,0 +1,102 @@
+"""Torch-exact SGD with momentum, weight decay, parameter groups and the
+reference's MultiStep + warmup learning-rate policy.
+
+Matches ``optim.SGD(momentum=0.9, weight_decay=1e-5)`` semantics
+(``train_fine.py:130``): ``g += wd*p; buf = m*buf + g; p -= lr*buf``, with the
+fusion parameter group (names containing ``rw``/``mix``) at 10× LR
+(``train_coarse_fineFEAT.py:137-141``).  The learning rate is a traced scalar
+argument, so warmup (``train_fine.py:258-263``) and MultiStepLR decays don't
+retrigger compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SGDState:
+    momentum: Any  # pytree of momentum buffers, like params
+
+
+def sgd_init(params) -> SGDState:
+    return SGDState(momentum=jax.tree.map(jnp.zeros_like, params))
+
+
+def fusion_lr_scale(path_key: str, scale: float = 10.0) -> float:
+    """10× LR for fusion params, mirroring the reference's name-substring rule
+    (``'rw' in name or 'mix' in name``, ``train_coarse_fineFEAT.py:139``)."""
+    return scale if ("rw" in path_key or "mix" in path_key) else 1.0
+
+
+def _lr_scales(params, scale_fn: Callable[[str], float] | None):
+    if scale_fn is None:
+        return jax.tree.map(lambda _: 1.0, params)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    scales = [scale_fn(jax.tree_util.keystr(k)) for k, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, scales)
+
+
+def sgd_update(
+    params,
+    grads,
+    state: SGDState,
+    lr: jax.Array,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-5,
+    lr_scales=None,
+):
+    """One SGD step.  ``lr_scales`` is an optional pytree of per-leaf scalars
+    (from :func:`_lr_scales`/:func:`fusion_lr_scale`)."""
+    if lr_scales is None:
+        lr_scales = jax.tree.map(lambda _: 1.0, params)
+
+    def upd(p, g, buf, s):
+        g = g + weight_decay * p
+        buf = momentum * buf + g
+        return p - (lr * s) * buf, buf
+
+    out = jax.tree.map(upd, params, grads, state.momentum, lr_scales)
+    new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+    new_momentum = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, SGDState(momentum=new_momentum)
+
+
+class MultiStepSchedule:
+    """``MultiStepLR`` + linear warmup, host-side (mirrors
+    ``train_fine.py:131, 258-263``).
+
+    ``milestones`` are scheduler-epoch counts (one scheduler step per
+    validation phase in the reference loop); call :meth:`epoch_step` after
+    each val phase and :meth:`lr` per optimisation step.
+    """
+
+    def __init__(self, init_lr: float, milestones: Sequence[int],
+                 gamma: float = 0.1, warmup_steps: int = 0):
+        self.init_lr = init_lr
+        self.milestones = sorted(milestones)
+        self.gamma = gamma
+        self.warmup_steps = warmup_steps
+        self.epoch = 0
+
+    def epoch_step(self) -> None:
+        self.epoch += 1
+
+    def lr(self, step: int) -> float:
+        decays = sum(1 for m in self.milestones if self.epoch >= m)
+        lr = self.init_lr * (self.gamma ** decays)
+        # lr_warmup(): scale only while 1 < step < warmup_steps
+        if 1 < step < self.warmup_steps:
+            lr = lr * min(1.0, float(step + 1) / self.warmup_steps)
+        return lr
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        self.epoch = int(d["epoch"])

@@ -1,0 +1,139 @@
+"""Jitted train / eval steps for both streams.
+
+The whole step — forward, logit upsampling to label rate, BCE losses,
+backward, SGD update, BN-stat update — is one XLA program.  Under a
+``jax.sharding.Mesh`` with the batch sharded on the ``data`` axis this is
+data-parallel training: gradient/batch-norm reductions become ICI collectives
+inserted by XLA (replacing the reference's ``nn.DataParallel``,
+``train_fine.py:123``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resample import linear_resize
+from .losses import detection_loss
+from .optim import fusion_lr_scale, _lr_scales, sgd_update
+from .state import TrainState
+
+
+def _forward_and_loss(model, params, batch_stats, batch, rng, train,
+                      align_corners, mutable):
+    """Shared forward: model → upsample logits to label length → masked probs
+    → detection loss (train_fine.py:197-226)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(train=train)
+    rngs = {"dropout": rng} if train else None
+    if "feats" in batch:
+        args = (batch["clips"], batch["feats"], batch["feat_mask"],
+                batch["meta"])
+    else:
+        args = (batch["clips"],)
+    if train:
+        logits, updates = model.apply(
+            variables, *args, mutable=mutable, rngs=rngs, **kwargs
+        )
+        new_stats = updates["batch_stats"]
+    else:
+        logits = model.apply(variables, *args, rngs=rngs, **kwargs)
+        new_stats = batch_stats
+
+    tl = batch["labels"].shape[1]
+    logits = linear_resize(logits, tl, align_corners=align_corners)
+    probs = jax.nn.sigmoid(logits) * batch["masks"][:, :, None]
+    total, cls, loc = detection_loss(probs, batch["labels"], batch["masks"])
+    return total, (cls, loc, probs, new_stats)
+
+
+def make_train_step(
+    model,
+    align_corners: bool = True,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-5,
+    fusion_lr_mult: Optional[float] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Args:
+      align_corners: logit-upsampling convention — ``True`` for the fine driver
+        (``train_fine.py:199``), ``False`` for the coarse driver
+        (``train_coarse_fineFEAT.py:226``).
+      fusion_lr_mult: if set, params whose path contains ``rw``/``mix`` train
+        at ``lr * mult`` (``train_coarse_fineFEAT.py:137-141``).
+    """
+
+    scale_fn = (
+        functools.partial(fusion_lr_scale, scale=fusion_lr_mult)
+        if fusion_lr_mult else None
+    )
+
+    def step(state: TrainState, batch: Dict[str, Any], lr: jax.Array,
+             rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_and_loss(
+                model, p, state.batch_stats, batch, rng, True,
+                align_corners, ["batch_stats"],
+            ),
+            has_aux=True,
+        )
+        (total, (cls, loc, probs, new_stats)), grads = grad_fn(state.params)
+        lr_scales = _lr_scales(state.params, scale_fn)
+        new_params, new_opt = sgd_update(
+            state.params, grads, state.opt, lr,
+            momentum=momentum, weight_decay=weight_decay, lr_scales=lr_scales,
+        )
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt=new_opt,
+            step=state.step + 1,
+        )
+        metrics = {"loss": total, "cls_loss": cls, "loc_loss": loc,
+                   "probs": probs}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, align_corners: bool = True) -> Callable:
+    """Eval step: running-stat BN (aggregate SubBN stats first —
+    ``train_fine.py:157``), no dropout; returns loss terms and masked probs.
+
+    Multi-crop max-reduction (``train_fine.py:204-207``) is applied when the
+    batch carries ``crops > 1`` clips per sample: callers pass clips of shape
+    ``(B*N, ...)`` and ``crops=N``; probs/logits are max-reduced over N.
+    """
+
+    def step(state: TrainState, batch: Dict[str, Any], crops: int = 1):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if "feats" in batch:
+            args = (batch["clips"], batch["feats"], batch["feat_mask"],
+                    batch["meta"])
+        else:
+            args = (batch["clips"],)
+        logits = model.apply(variables, *args, train=False)
+        tl = batch["labels"].shape[1]
+        logits = linear_resize(logits, tl, align_corners=align_corners)
+        if crops > 1:
+            bn = logits.shape[0]
+            logits = logits.reshape(bn // crops, crops, *logits.shape[1:])
+            probs = jax.nn.sigmoid(logits)
+            probs = jnp.max(probs, axis=1) * batch["masks"][:, :, None]
+        else:
+            probs = jax.nn.sigmoid(logits) * batch["masks"][:, :, None]
+        total, cls, loc = detection_loss(probs, batch["labels"], batch["masks"])
+        return {"loss": total, "cls_loss": cls, "loc_loss": loc, "probs": probs}
+
+    return jax.jit(step, static_argnums=(2,))
+
+
+def bn_aggregated(state: TrainState) -> TrainState:
+    """Return a state with SubBN eval stats refreshed from split stats."""
+    from ..models.layers import aggregate_sub_bn_stats
+
+    return state.replace(batch_stats=aggregate_sub_bn_stats(state.batch_stats))
