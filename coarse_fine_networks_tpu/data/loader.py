@@ -1,0 +1,115 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=8,
+pin_memory=True)`` (``train_fine.py:84-85``): worker threads decode/transform
+samples ahead of consumption (PIL decode releases the GIL), batches are
+collated on the host and (optionally) pushed to device asynchronously so the
+accelerator never waits on JPEG decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+
+class PrefetchLoader:
+    """Iterate padded batches from a map-style dataset with worker threads."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        out = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            out = [b for b in out if len(b) == self.batch_size]
+        return out
+
+    def __iter__(self) -> Iterator:
+        batches = self._batches()
+        self.epoch += 1
+        work: "queue.Queue" = queue.Queue()
+        done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        results = {}
+        lock = threading.Lock()
+
+        for i, b in enumerate(batches):
+            work.put((i, b))
+        for _ in range(self.num_workers):
+            work.put(None)
+
+        def worker():
+            while True:
+                item = work.get()
+                if item is None:
+                    done.put(None)
+                    return
+                i, idxs = item
+                try:
+                    batch = self.collate_fn([self.dataset[j] for j in idxs])
+                    done.put((i, batch))
+                except Exception as e:  # surface worker errors to consumer
+                    done.put((i, e))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        finished_workers = 0
+        next_idx = 0
+        try:
+            while next_idx < len(batches):
+                item = done.get()
+                if item is None:
+                    finished_workers += 1
+                    if finished_workers == self.num_workers and not results:
+                        break
+                    continue
+                i, batch = item
+                if isinstance(batch, Exception):
+                    raise batch
+                with lock:
+                    results[i] = batch
+                while next_idx in results:
+                    with lock:
+                        out = results.pop(next_idx)
+                    next_idx += 1
+                    yield out
+        finally:
+            for t in threads:
+                t.join(timeout=0.1)
