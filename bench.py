@@ -40,7 +40,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_fine_forward():
+    """BASELINE config #1: fine-stream forward, one 80-frame clip @ 224²."""
+    from coarse_fine_networks_tpu.models import FineNet
+
+    rng = np.random.RandomState(0)
+    t = 80 * 2 // 10  # frames=80 → clip T=16 (dataset doubles frames & tau)
+    clips = jnp.asarray(rng.rand(1, t, 224, 224, 3), jnp.float32)
+    model = FineNet(version="M", n_classes=N_CLASSES, task="loc",
+                    compute_dtype=DTYPE)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, clips, False)
+    )()
+    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
+    out = fwd(variables, clips)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(STEPS):
+        out = fwd(variables, clips)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / STEPS
+    print(json.dumps({
+        "metric": "fine_forward_clips_per_sec_per_chip",
+        "value": round(1.0 / dt, 2),
+        "unit": "clips/s/chip (fwd only, 1x80fr @ 224^2)",
+        "vs_baseline": round((1.0 / dt) / BASELINE_CLIPS_PER_CHIP, 2),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "fine_forward":
+        bench_fine_forward()
+        return
     from coarse_fine_networks_tpu.models import CoarseNet
     from coarse_fine_networks_tpu.train import TrainState, make_train_step
 

@@ -213,17 +213,23 @@ def collate_clips(
     clips = np.zeros((len(batch), n, max_t, h, w, 3), np.uint8)
     labels = np.zeros((len(batch), max_l, c), np.float32)
     masks = np.zeros((len(batch), max_l), np.float32)
+    clip_mask = np.zeros((len(batch), max_t), np.float32)
     metas = np.stack([b["meta"] for b in batch])
     flips = np.asarray([b["flip"] for b in batch])
     for i, b in enumerate(batch):
         t = b["clips"].shape[1]
         clips[i, :, :t] = b["clips"]
+        clip_mask[i, :t] = 1.0
         l = b["label"].shape[0]
         labels[i, :l] = b["label"]
         masks[i, :l] = 1.0
+    # clip_mask marks valid input frames: after on-device normalisation the
+    # padded tail is re-zeroed so it matches the reference's post-normalise
+    # zero padding (mt_collate_fn pads normalised tensors,
+    # charades_fine.py:214-218) and the convs' own zero padding.
     return {
-        "clips": clips, "labels": labels, "masks": masks, "meta": metas,
-        "flip": flips,
+        "clips": clips, "labels": labels, "masks": masks,
+        "clip_mask": clip_mask, "meta": metas, "flip": flips,
         "vids": [b["vid"] for b in batch],
         "durs": np.asarray([b["dur"] for b in batch], np.float32),
     }

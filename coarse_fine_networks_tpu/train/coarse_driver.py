@@ -1,0 +1,199 @@
+"""Coarse-stream training driver (re-design of ``train_coarse_fineFEAT.py``).
+
+Differences from the fine loop: trains on clips **plus cached fine features**;
+fusion params (``rw``/``mix``) at 10× LR (``train_coarse_fineFEAT.py:137-141``);
+two train phases per val (``:162``); logit upsampling without align_corners
+(``:226``); chunked inference for long validation videos with a per-chunk
+``meta`` start-offset advance (``:215-224``); validation emits the
+``Charades_v1_localize`` 25-frame CSV (``:249-263``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import CharadesDataset, PrefetchLoader, collate_coarse
+from ..metrics import APMeter, LocalizeCSVWriter, subsample_25
+from ..models import CoarseNet
+from ..ops.resample import linear_resize
+from ..parallel import make_mesh, shard_batch
+from ..parallel.mesh import replicate
+from ..utils import get_logger
+from .common import load_pretrained, maybe_resume, model_batch, save_train_state
+from .config import DriverConfig
+from .fine_driver import build_transforms, _add_ap
+from .optim import MultiStepSchedule
+from .state import TrainState
+from .steps import bn_aggregated, make_eval_step, make_train_step
+
+log = get_logger()
+
+
+def build_coarse_loaders(cfg: DriverConfig):
+    train_t, val_t = build_transforms(cfg)
+    common = dict(task="loc", frames=cfg.frames, gamma_tau=cfg.gamma_tau,
+                  min_frames=cfg.min_frames, num_classes=cfg.num_classes,
+                  crop_size=cfg.crop_size, fine_feat_dir=cfg.fine_feat_dir)
+    train_ds = CharadesDataset(cfg.anno, "training", cfg.root,
+                               spatial_transform=train_t, crops=1, **common)
+    val_ds = CharadesDataset(cfg.anno, "testing", cfg.root,
+                             spatial_transform=val_t, crops=cfg.crops, **common)
+    collate = lambda b: collate_coarse(b,  # noqa: E731
+                                       pad_t_multiple=cfg.pad_t_multiple,
+                                       pad_label_multiple=cfg.pad_label_multiple)
+    train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
+                                  shuffle=True, num_workers=cfg.num_workers,
+                                  prefetch=cfg.prefetch, drop_last=True,
+                                  seed=cfg.seed)
+    val_loader = PrefetchLoader(val_ds, cfg.val_batch_size or 1, collate,
+                                shuffle=False, num_workers=cfg.num_workers,
+                                prefetch=cfg.prefetch)
+    return train_loader, val_loader
+
+
+def _chunked_logits(model, variables, mb, t_lim: int):
+    """Long-video eval in fixed windows, advancing ``meta[:, 0]`` per chunk
+    (``train_coarse_fineFEAT.py:215-224``)."""
+    clips = mb["clips"]
+    t = clips.shape[1]
+    outs = []
+    meta = mb["meta"]
+    for ti in range(0, t // t_lim + 1):
+        part = clips[:, ti * t_lim : min(t, (ti + 1) * t_lim)]
+        if part.shape[1] == 0:
+            break
+        logits = model.apply(variables, part, mb["feats"], mb["feat_mask"],
+                             meta, train=False)
+        outs.append(logits)
+        meta = meta.at[:, 0].add(t_lim)
+    return jnp.concatenate(outs, axis=1)
+
+
+def run(cfg: DriverConfig) -> Dict[str, float]:
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    assert cfg.fine_feat_dir, "coarse training needs fine_feat_dir"
+    train_loader, val_loader = build_coarse_loaders(cfg)
+    log.info("train %d val %d videos", len(train_loader.dataset.data),
+             len(val_loader.dataset.data))
+
+    model = CoarseNet(
+        version=cfg.x3d_version, n_classes=cfg.num_classes, task="loc",
+        dropout_rate=cfg.dropout, bn_splits=cfg.base_bn_splits,
+        t_pool="grid", learned_mixing=True, is_mixing=True, crops=1,
+        compute_dtype=jnp.dtype(cfg.compute_dtype), remat=cfg.remat,
+    )
+    sample = next(iter(val_loader))
+    mb0 = model_batch(sample, train=False)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(cfg.seed)},
+            mb0["clips"][:1, :16], mb0["feats"], mb0["feat_mask"], mb0["meta"],
+            False,
+        )
+    )()
+    if cfg.kinetics_ckpt:
+        variables = load_pretrained(variables, cfg.kinetics_ckpt, "coarse")
+        log.info("loaded pretrained %s", cfg.kinetics_ckpt)
+    state = TrainState.create(variables)
+    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
+                              warmup_steps=cfg.warmup_steps)
+    state = maybe_resume(cfg, "coarse_fineFEAT_charades", state, sched)
+
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        mesh = make_mesh(cfg.mesh_devices)
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(
+        model, align_corners=cfg.align_corners, momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+        fusion_lr_mult=cfg.fusion_lr_mult or 10.0,
+    )
+    eval_step = make_eval_step(model, align_corners=cfg.align_corners)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    tr_apm, val_apm = APMeter(), APMeter()
+    results: Dict[str, float] = {}
+    epochs = 0
+    iterations_per_epoch = max(len(train_loader), 1)
+    s_times = max(iterations_per_epoch // cfg.log_every_frac, 1)
+    tot = {"loss": 0.0, "n": 0}
+
+    while epochs < cfg.max_epochs:
+        for phase in cfg.train_phases_per_val * ["train"] + ["val"]:
+            if phase == "train":
+                epochs += 1
+                for batch in train_loader:
+                    if batch["clips"].shape[0] != cfg.batch_size:
+                        continue
+                    mb = model_batch(batch, train=True)
+                    if mesh is not None:
+                        mb = shard_batch(mb, mesh)
+                    lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
+                    state, metrics = train_step(state, mb, lr, key)
+                    tot["loss"] += float(metrics["loss"])
+                    tot["n"] += 1
+                    _add_ap(tr_apm, np.asarray(metrics["probs"]),
+                            batch["labels"], batch["masks"])
+                    step_i = int(state.step)
+                    if step_i % s_times == 0:
+                        log.info("epoch %d step %d loss %.4f mAP %.4f",
+                                 epochs, step_i, tot["loss"] / max(tot["n"], 1),
+                                 tr_apm.mean())
+                        results["train_map"] = tr_apm.mean()
+                        tr_apm.reset()
+                        tot = {"loss": 0.0, "n": 0}
+                    if step_i % cfg.ckpt_every == 0:
+                        save_train_state(cfg, "coarse_fineFEAT_charades",
+                                         state, sched)
+                    if cfg.max_steps and step_i >= cfg.max_steps:
+                        break
+            else:
+                eval_state = bn_aggregated(state)
+                eval_vars = {"params": eval_state.params,
+                             "batch_stats": eval_state.batch_stats}
+                writer = (LocalizeCSVWriter(cfg.localize_csv)
+                          if cfg.localize_csv else None)
+                nval = 0
+                for batch in val_loader:
+                    mb = model_batch(batch, train=False)
+                    t = mb["clips"].shape[1]
+                    if t < cfg.t_lim_inference + 5:
+                        out = eval_step(eval_state, mb, cfg.crops)
+                        probs = np.asarray(out["probs"])
+                    else:
+                        logits = _chunked_logits(model, eval_vars, mb,
+                                                 cfg.t_lim_inference)
+                        tl = mb["labels"].shape[1]
+                        logits = linear_resize(logits, tl,
+                                               cfg.align_corners)
+                        probs = np.asarray(
+                            jax.nn.sigmoid(logits) * mb["masks"][:, :, None]
+                        )
+                    valid = batch["masks"].sum(axis=1).astype(int)
+                    for b in range(probs.shape[0]):
+                        p25, l25 = subsample_25(probs[b], valid[b],
+                                                batch["labels"][b])
+                        val_apm.add(p25, l25)
+                        if writer is not None:
+                            writer.add_video(batch["vids"][b], p25,
+                                             float(batch["durs"][b]))
+                    nval += 1
+                    if cfg.max_val_batches and nval >= cfg.max_val_batches:
+                        break
+                if writer is not None:
+                    writer.close()
+                val_map = val_apm.mean()
+                val_apm.reset()
+                log.info("epoch %d VAL mAP(25fr) %.4f", epochs, val_map)
+                results["val_map"] = val_map
+                sched.epoch_step()
+            if cfg.max_steps and int(state.step) >= cfg.max_steps:
+                return results
+    return results

@@ -1,0 +1,130 @@
+"""Shared driver plumbing: batch preparation, checkpoint state, Kinetics
+restore, BN aggregation."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ckpt import (
+    convert_torch_state_dict,
+    latest_checkpoint,
+    load_checkpoint,
+    merge_trees,
+    save_checkpoint,
+)
+from ..data.transforms import device_normalize
+from ..utils import get_logger
+from .config import DriverConfig, CHARADES_MEAN, CHARADES_STD
+from .state import TrainState
+
+log = get_logger()
+
+
+def prepare_clips(batch: Dict[str, Any], train: bool,
+                  mean=CHARADES_MEAN, std=CHARADES_STD) -> jax.Array:
+    """uint8 host batch → normalised device clips.
+
+    Train: squeeze the crops axis (``train_fine.py:179``).
+    Test: fold crops into batch (``train_fine.py:184-187``).
+    Padded frames are re-zeroed post-normalisation so they match the
+    reference's zero padding of normalised tensors (see collate_clips).
+    """
+    clips = batch["clips"]  # (B, N, T, H, W, 3) uint8
+    b, n = clips.shape[:2]
+    clips = clips.reshape((b * n,) + clips.shape[2:])
+    flip = np.repeat(np.asarray(batch["flip"]), n)
+    x = device_normalize(jnp.asarray(clips), flip, mean, std)
+    cm = jnp.repeat(jnp.asarray(batch["clip_mask"]), n, axis=0)
+    return x * cm[:, :, None, None, None]
+
+
+def model_batch(batch: Dict[str, Any], train: bool) -> Dict[str, Any]:
+    """Assemble the device batch dict consumed by train/eval steps."""
+    out = {
+        "clips": prepare_clips(batch, train),
+        "labels": jnp.asarray(batch["labels"]),
+        "masks": jnp.asarray(batch["masks"]),
+    }
+    if "feats" in batch:
+        out["feats"] = {k: jnp.asarray(v) for k, v in batch["feats"].items()}
+        out["feat_mask"] = jnp.asarray(batch["feat_mask"])
+        out["meta"] = jnp.asarray(batch["meta"])
+    return out
+
+
+def load_pretrained(variables: Dict, path: str, model_kind: str) -> Dict:
+    """Partial-restore a checkpoint into freshly-initialised variables.
+
+    Accepts a reference torch ``.pt`` (e.g. the Kinetics-400 X3D multigrid
+    checkpoint, ``train_fine.py:104-107``) or a native ``.ckpt``.  Shape
+    mismatches (the 400→157 class head) keep the fresh init — the
+    ``replace_logits`` transfer recipe (``train_fine.py:111``).
+    """
+    if path.endswith(".pt") or path.endswith(".pth"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu")
+        sd = ckpt.get("model_state_dict", ckpt)
+        conv = convert_torch_state_dict(sd, model_kind)
+        return {
+            "params": merge_trees(jax.device_get(variables["params"]),
+                                  conv["params"], strict_shapes=False),
+            "batch_stats": merge_trees(jax.device_get(variables["batch_stats"]),
+                                       conv["batch_stats"], strict_shapes=False),
+        }
+    raw = load_checkpoint(path)
+    model_vars = raw.get("variables", raw)
+    return {
+        "params": merge_trees(jax.device_get(variables["params"]),
+                              model_vars["params"], strict_shapes=False),
+        "batch_stats": merge_trees(jax.device_get(variables["batch_stats"]),
+                                   model_vars["batch_stats"],
+                                   strict_shapes=False),
+    }
+
+
+def save_train_state(cfg: DriverConfig, prefix: str, state: TrainState,
+                     sched) -> str:
+    path = os.path.join(cfg.save_dir,
+                        f"{prefix}_{int(state.step):06d}.ckpt")
+    payload = {
+        "variables": {"params": state.params,
+                      "batch_stats": state.batch_stats},
+        "momentum": state.opt.momentum,
+        "step": int(state.step),
+        "scheduler": sched.state_dict(),
+    }
+    save_checkpoint(path, payload)
+    log.info("saved checkpoint %s", path)
+    return path
+
+
+def maybe_resume(cfg: DriverConfig, prefix: str, state: TrainState,
+                 sched) -> TrainState:
+    """Auto-resume from the latest checkpoint (upgrades the reference's
+    manual ``steps>0`` block, ``train_fine.py:118-120``)."""
+    if not cfg.resume:
+        return state
+    path = latest_checkpoint(cfg.save_dir, prefix)
+    if path is None:
+        return state
+    raw = load_checkpoint(path)
+    log.info("resuming from %s (step %d)", path, raw["step"])
+    sched.load_state_dict(raw["scheduler"])
+    variables = raw["variables"]
+    from .optim import SGDState
+
+    return state.replace(
+        params=merge_trees(jax.device_get(state.params), variables["params"]),
+        batch_stats=merge_trees(jax.device_get(state.batch_stats),
+                                variables["batch_stats"]),
+        opt=SGDState(momentum=merge_trees(
+            jax.device_get(state.opt.momentum), raw["momentum"])),
+        step=jnp.asarray(raw["step"], jnp.int32),
+    )

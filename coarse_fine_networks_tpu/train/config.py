@@ -1,0 +1,73 @@
+"""Driver configuration — a single dataclass holding the knobs the reference
+scatters as module-level constants (``train_fine.py:44-53``,
+``train_coarse_fineFEAT.py:45-55``, ``extract_fineFEAT.py:40-53``)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# Per-version tables (train_fine.py:59-61)
+CROP_SIZE = {"S": 160, "M": 224, "XL": 312}
+RESIZE_SIZE = {"S": (180.0, 225.0), "M": (256.0, 320.0), "XL": (360.0, 450.0)}
+GAMMA_TAU = {"S": 6, "M": 5, "XL": 5}
+
+CHARADES_MEAN = (0.413, 0.368, 0.338)
+CHARADES_STD = (0.131, 0.125, 0.132)
+
+
+@dataclasses.dataclass
+class DriverConfig:
+    anno: str                      # charades.json path
+    root: str                      # per-frame JPEG root
+    save_dir: str = "models"
+    x3d_version: str = "M"
+    num_classes: int = 157
+    batch_size: int = 8            # train_fine.py:44 (coarse uses 6)
+    val_batch_size: Optional[int] = None
+    init_lr: float = 0.01
+    lr_milestones: Sequence[int] = (15, 20, 25)
+    warmup_steps: int = 0
+    max_epochs: int = 200
+    frames: int = 80 * 4           # train_fine.py:57
+    crops: int = 1
+    dropout: float = 0.5
+    base_bn_splits: int = 1
+    weight_decay: float = 1e-5
+    momentum: float = 0.9
+    train_phases_per_val: int = 4  # train_fine.py:147 (coarse: 2)
+    ckpt_every: int = 1000
+    log_every_frac: int = 2        # print stats every 1/2 epoch
+    kinetics_ckpt: Optional[str] = None  # torch .pt or native .ckpt
+    resume: bool = True
+    num_workers: int = 4
+    prefetch: int = 4
+    fine_feat_dir: Optional[str] = None
+    fusion_lr_mult: Optional[float] = None
+    align_corners: bool = True     # fine: True; coarse driver: False
+    compute_dtype: str = "float32"
+    remat: bool = False
+    mesh_devices: Optional[int] = None  # data-parallel device count (None=all)
+    min_frames: Optional[int] = None    # dataset filter (tests use small)
+    crop_size_override: Optional[int] = None
+    pad_t_multiple: Optional[int] = 16
+    pad_label_multiple: Optional[int] = 64
+    t_lim_inference: int = 1000    # chunked long-video eval (coarse)
+    seed: int = 0
+    max_steps: Optional[int] = None      # early stop for tests
+    max_val_batches: Optional[int] = None
+    localize_csv: Optional[str] = None   # coarse val CSV output
+    debug_nans: bool = False       # opt-in jit-level NaN checks
+
+    @property
+    def crop_size(self) -> int:
+        return self.crop_size_override or CROP_SIZE[self.x3d_version]
+
+    @property
+    def gamma_tau(self) -> int:
+        return GAMMA_TAU[self.x3d_version]
+
+    @property
+    def scales(self) -> Tuple[float, float]:
+        r = RESIZE_SIZE[self.x3d_version]
+        return tuple(self.crop_size / s for s in r)

@@ -1,0 +1,185 @@
+"""Fine-stream training driver (re-design of ``train_fine.py``).
+
+Same loop shape as the reference: each outer cycle runs
+``train_phases_per_val`` training phases then one validation phase
+(``train_fine.py:147``); SubBN stats aggregate before eval
+(``train_fine.py:157``); a checkpoint lands every ``ckpt_every`` steps
+(``train_fine.py:245-249``); APMeter tracks per-frame mAP over valid frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import (
+    CharadesDataset,
+    CenterCropScaled,
+    Compose,
+    MultiScaleRandomCropMultigrid,
+    PrefetchLoader,
+    RandomHorizontalFlip,
+    collate_clips,
+)
+from ..metrics import APMeter
+from ..models import FineNet
+from ..parallel import make_mesh, shard_batch
+from ..parallel.mesh import replicate
+from ..utils import get_logger
+from .common import load_pretrained, maybe_resume, model_batch, save_train_state
+from .config import DriverConfig
+from .optim import MultiStepSchedule
+from .state import TrainState
+from .steps import bn_aggregated, make_eval_step, make_train_step
+
+log = get_logger()
+
+
+def build_transforms(cfg: DriverConfig):
+    """Train: MultiScaleRandomCropMultigrid + deferred HFlip
+    (train_fine.py:74-77); val: CenterCropScaled (train_fine.py:78-80).
+    ToTensor/Normalize run on device."""
+    train_t = Compose([
+        MultiScaleRandomCropMultigrid(list(cfg.scales), cfg.crop_size),
+        RandomHorizontalFlip(deferred=True),
+    ])
+    val_t = Compose([CenterCropScaled(cfg.crop_size)])
+    return train_t, val_t
+
+
+def build_fine_loaders(cfg: DriverConfig):
+    train_t, val_t = build_transforms(cfg)
+    common = dict(task="loc", frames=cfg.frames, gamma_tau=cfg.gamma_tau,
+                  min_frames=cfg.min_frames, num_classes=cfg.num_classes,
+                  crop_size=cfg.crop_size)
+    train_ds = CharadesDataset(cfg.anno, "training", cfg.root,
+                               spatial_transform=train_t, crops=1, **common)
+    val_ds = CharadesDataset(cfg.anno, "testing", cfg.root,
+                             spatial_transform=val_t, crops=cfg.crops, **common)
+    vbs = cfg.val_batch_size or max(cfg.batch_size // 2, 1)
+    collate = lambda b: collate_clips(b, cfg.pad_t_multiple,  # noqa: E731
+                                      cfg.pad_label_multiple)
+    train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
+                                  shuffle=True, num_workers=cfg.num_workers,
+                                  prefetch=cfg.prefetch, drop_last=True,
+                                  seed=cfg.seed)
+    val_loader = PrefetchLoader(val_ds, vbs, collate, shuffle=False,
+                                num_workers=cfg.num_workers,
+                                prefetch=cfg.prefetch)
+    return train_loader, val_loader
+
+
+def _add_ap(apm: APMeter, probs: np.ndarray, labels: np.ndarray,
+            masks: np.ndarray) -> None:
+    """Accumulate AP over valid frames per sample (train_fine.py:215-222)."""
+    valid = masks.sum(axis=1).astype(int)
+    for b in range(labels.shape[0]):
+        apm.add(probs[b, : valid[b]], labels[b, : valid[b]])
+
+
+def run(cfg: DriverConfig) -> Dict[str, float]:
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    train_loader, val_loader = build_fine_loaders(cfg)
+    log.info("train %d val %d videos", len(train_loader.dataset.data),
+             len(val_loader.dataset.data))
+
+    model = FineNet(
+        version=cfg.x3d_version, n_classes=cfg.num_classes, task="loc",
+        dropout_rate=cfg.dropout, bn_splits=cfg.base_bn_splits,
+        compute_dtype=jnp.dtype(cfg.compute_dtype), remat=cfg.remat,
+    )
+    sample = next(iter(val_loader))
+    init_clips = model_batch(sample, train=False)["clips"][:1]
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(cfg.seed)},
+                           init_clips, False)
+    )()
+    if cfg.kinetics_ckpt:
+        variables = load_pretrained(variables, cfg.kinetics_ckpt, "fine")
+        log.info("loaded pretrained %s", cfg.kinetics_ckpt)
+    state = TrainState.create(variables)
+    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
+                              warmup_steps=cfg.warmup_steps)
+    state = maybe_resume(cfg, "fine_charades", state, sched)
+
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        mesh = make_mesh(cfg.mesh_devices)
+        state = replicate(state, mesh)
+        log.info("data-parallel mesh over %d devices", cfg.mesh_devices)
+
+    train_step = make_train_step(model, align_corners=cfg.align_corners,
+                                 momentum=cfg.momentum,
+                                 weight_decay=cfg.weight_decay)
+    eval_step = make_eval_step(model, align_corners=cfg.align_corners)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    tr_apm, val_apm = APMeter(), APMeter()
+    results: Dict[str, float] = {}
+    epochs = 0
+    iterations_per_epoch = max(len(train_loader), 1)
+    s_times = max(iterations_per_epoch // cfg.log_every_frac, 1)
+    tot = {"loss": 0.0, "cls": 0.0, "loc": 0.0, "n": 0}
+
+    while epochs < cfg.max_epochs:
+        for phase in cfg.train_phases_per_val * ["train"] + ["val"]:
+            if phase == "train":
+                epochs += 1
+                for batch in train_loader:
+                    if batch["clips"].shape[0] != cfg.batch_size:
+                        continue
+                    mb = model_batch(batch, train=True)
+                    if mesh is not None:
+                        mb = shard_batch(mb, mesh)
+                    lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
+                    state, metrics = train_step(state, mb, lr, key)
+                    tot["loss"] += float(metrics["loss"])
+                    tot["cls"] += float(metrics["cls_loss"])
+                    tot["loc"] += float(metrics["loc_loss"])
+                    tot["n"] += 1
+                    _add_ap(tr_apm, np.asarray(metrics["probs"]),
+                            batch["labels"], batch["masks"])
+                    step_i = int(state.step)
+                    if step_i % s_times == 0:
+                        log.info(
+                            "epoch %d step %d loss %.4f cls %.4f loc %.4f "
+                            "mAP %.4f", epochs, step_i,
+                            tot["loss"] / max(tot["n"], 1),
+                            tot["cls"] / max(tot["n"], 1),
+                            tot["loc"] / max(tot["n"], 1), tr_apm.mean())
+                        results["train_map"] = tr_apm.mean()
+                        tr_apm.reset()
+                        tot = {"loss": 0.0, "cls": 0.0, "loc": 0.0, "n": 0}
+                    if step_i % cfg.ckpt_every == 0:
+                        save_train_state(cfg, "fine_charades", state, sched)
+                    if cfg.max_steps and step_i >= cfg.max_steps:
+                        break
+            else:
+                eval_state = bn_aggregated(state)
+                vloss = 0.0
+                nval = 0
+                for batch in val_loader:
+                    mb = model_batch(batch, train=False)
+                    out = eval_step(eval_state, mb, cfg.crops)
+                    vloss += float(out["loss"])
+                    nval += 1
+                    _add_ap(val_apm, np.asarray(out["probs"]),
+                            batch["labels"], batch["masks"])
+                    if cfg.max_val_batches and nval >= cfg.max_val_batches:
+                        break
+                val_map = val_apm.mean()
+                val_apm.reset()
+                log.info("epoch %d VAL loss %.4f mAP %.4f", epochs,
+                         vloss / max(nval, 1), val_map)
+                results["val_map"] = val_map
+                results["val_loss"] = vloss / max(nval, 1)
+                sched.epoch_step()
+            if cfg.max_steps and int(state.step) >= cfg.max_steps:
+                return results
+    return results

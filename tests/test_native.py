@@ -1,0 +1,52 @@
+"""Native C++ data-plane tests: threaded JPEG decode parity with PIL, and the
+packed-video container round trip.  Skipped when the toolchain/library is
+unavailable."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from coarse_fine_networks_tpu.data import native
+from coarse_fine_networks_tpu.data.synthetic import generate_mini_charades
+from coarse_fine_networks_tpu.data.transforms import CenterCropScaled
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture(scope="module")
+def frames(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_data")
+    generate_mini_charades(str(root), num_videos=1, num_frames=8, hw=50)
+    vid_dir = glob.glob(os.path.join(str(root), "frames", "*"))[0]
+    return sorted(glob.glob(os.path.join(vid_dir, "*.jpg")))
+
+
+def test_decode_batch_matches_pil(frames):
+    out = native.decode_batch(frames, out_size=32, num_threads=2)
+    assert out.shape == (len(frames), 32, 32, 3)
+    ref_t = CenterCropScaled(32)
+    for i, p in enumerate(frames):
+        ref = np.asarray(ref_t(Image.open(p).convert("RGB")))
+        # decode is exact; our C++ bilinear uses half-pixel sampling while PIL
+        # uses an antialiased triangle filter — allow small deviation
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        assert diff.mean() < 12, diff.mean()
+
+
+def test_pack_roundtrip(frames, tmp_path):
+    pack = str(tmp_path / "vid.cfnpack")
+    native.pack_video(frames, pack)
+    assert native.pack_num_frames(pack) == len(frames)
+    got = native.decode_packed(pack, [0, 3, 7], out_size=32)
+    direct = native.decode_batch([frames[0], frames[3], frames[7]], 32)
+    np.testing.assert_array_equal(got, direct)
+
+
+def test_decode_batch_reports_missing(frames, tmp_path):
+    bad = str(tmp_path / "missing.jpg")
+    with pytest.raises(IOError):
+        native.decode_batch([frames[0], bad], out_size=16)

@@ -1,0 +1,93 @@
+"""End-to-end pipeline test on synthetic mini-Charades: train the fine stream
+a few steps, extract the fine-feature cache, train the coarse stream a few
+steps, and emit the localisation CSV — the reference's full three-script
+workflow (SURVEY.md §1 dataflow) at toy scale."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from coarse_fine_networks_tpu.data.synthetic import generate_mini_charades
+from coarse_fine_networks_tpu.train import (
+    coarse_driver,
+    extract_driver,
+    fine_driver,
+)
+from coarse_fine_networks_tpu.train.config import DriverConfig
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    anno = generate_mini_charades(str(root), num_videos=4, num_frames=40,
+                                  hw=48, num_classes=157)
+    return str(root), anno
+
+
+def _cfg(root, anno, **kw):
+    base = dict(
+        anno=anno, root=os.path.join(root, "frames"),
+        save_dir=os.path.join(root, "models"),
+        batch_size=2, val_batch_size=1, init_lr=0.01,
+        frames=8, min_frames=10, crop_size_override=32,
+        max_epochs=2, train_phases_per_val=1, num_workers=2,
+        ckpt_every=1, max_steps=2, max_val_batches=2,
+        pad_t_multiple=4, pad_label_multiple=8, resume=False,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return DriverConfig(**base)
+
+
+@pytest.mark.slow
+def test_full_pipeline(mini):
+    root, anno = mini
+
+    # 1. fine training: a couple of steps + val, checkpoint lands
+    cfg = _cfg(root, anno)
+    results = fine_driver.run(cfg)
+    assert np.isfinite(results["val_loss"])
+    ckpts = os.listdir(cfg.save_dir)
+    assert any(c.startswith("fine_charades") for c in ckpts), ckpts
+    fine_ckpt = os.path.join(
+        cfg.save_dir, sorted(c for c in ckpts if c.startswith("fine"))[-1]
+    )
+
+    # 2. feature extraction from the trained checkpoint
+    feat_dir = os.path.join(root, "fine_feats")
+    ecfg = _cfg(root, anno, frames=8)
+    n = extract_driver.run(ecfg, feat_dir, fine_ckpt)
+    assert n == 4  # both splits
+    l1 = [f for f in os.listdir(os.path.join(feat_dir, "layer1"))]
+    assert len(l1) == 4
+    arr = np.load(os.path.join(feat_dir, "layer1", l1[0]))
+    assert arr.shape[1:] == (7, 7, 24)
+    assert np.isfinite(arr).all()
+
+    # 3. coarse training on the cache + localisation CSV
+    csv_path = os.path.join(root, "localize.csv")
+    ccfg = _cfg(root, anno, fine_feat_dir=feat_dir, align_corners=False,
+                fusion_lr_mult=10.0, localize_csv=csv_path,
+                train_phases_per_val=1)
+    cres = coarse_driver.run(ccfg)
+    assert "val_map" in cres and np.isfinite(cres["val_map"])
+    rows = list(csv.reader(open(csv_path)))
+    assert rows and len(rows[0]) == 3
+    assert len(rows[0][2].split(" ")) == 157
+
+    # coarse checkpoint landed too
+    assert any(c.startswith("coarse_fineFEAT") for c in os.listdir(cfg.save_dir))
+
+
+@pytest.mark.slow
+def test_fine_driver_resume(mini):
+    root, anno = mini
+    cfg = _cfg(root, anno, resume=True, max_steps=2,
+               save_dir=os.path.join(root, "models_resume"))
+    fine_driver.run(cfg)
+    cfg2 = _cfg(root, anno, resume=True, max_steps=4,
+                save_dir=os.path.join(root, "models_resume"))
+    res = fine_driver.run(cfg2)  # resumes from step-2 checkpoint
+    assert res is not None
