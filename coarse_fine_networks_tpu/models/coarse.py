@@ -212,6 +212,7 @@ class CoarseNet(nn.Module):
     crops: int = 1
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    dw_impl: str = "shift_add"
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact
@@ -229,10 +230,11 @@ class CoarseNet(nn.Module):
         x = x.astype(self.compute_dtype)
         t_in = x.shape[1]
 
-        x = X3DStem(planes[0][1], self.bn_splits, name="stem")(x, train)
+        x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
+                    name="stem")(x, train)
         x = X3DStage(planes[0][0], planes[0][1], blocks[0], stride=2,
                      bn_splits=self.bn_splits, remat=self.remat,
-                     name="layer1")(x, train)
+                     dw_impl=self.dw_impl, name="layer1")(x, train)
 
         knots = None
         if self.t_pool == "avg":
@@ -291,7 +293,7 @@ class CoarseNet(nn.Module):
                     x = X3DStage(planes[i + 1][0], planes[i + 1][1],
                                  blocks[i + 1], stride=2,
                                  bn_splits=self.bn_splits, remat=self.remat,
-                                 name=stage)(x, train)
+                                 dw_impl=self.dw_impl, name=stage)(x, train)
         else:
             for i, stage in enumerate(("layer2", "layer3", "layer4", None)):
                 x = apply_mod(x, bias_list[i], scale_list[i])
@@ -299,7 +301,7 @@ class CoarseNet(nn.Module):
                     x = X3DStage(planes[i + 1][0], planes[i + 1][1],
                                  blocks[i + 1], stride=2,
                                  bn_splits=self.bn_splits, remat=self.remat,
-                                 name=stage)(x, train)
+                                 dw_impl=self.dw_impl, name=stage)(x, train)
 
         x = X3DHead(planes[3][0], self.bn_splits, name="head")(x, train)
 

@@ -44,6 +44,7 @@ class FineNet(nn.Module):
     global_tower: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    dw_impl: str = "shift_add"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -51,13 +52,15 @@ class FineNet(nn.Module):
         blocks = get_blocks(self.version)
         x = x.astype(self.compute_dtype)
 
-        x = X3DStem(planes[0][1], self.bn_splits, name="stem")(x, train)
+        x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
+                    name="stem")(x, train)
 
         feat_g: Dict[str, jax.Array] = {}
         for i, ((mid, out), nblocks) in enumerate(zip(planes, blocks)):
             x = X3DStage(
                 mid, out, nblocks, stride=2, t_downsample=self.t_downsample,
-                bn_splits=self.bn_splits, remat=self.remat, name=f"layer{i + 1}",
+                bn_splits=self.bn_splits, remat=self.remat,
+                dw_impl=self.dw_impl, name=f"layer{i + 1}",
             )(x, train)
             if self.global_tower:
                 feat_g[f"layer{i + 1}"] = adaptive_avg_pool_spatial(x, TOWER_HW)

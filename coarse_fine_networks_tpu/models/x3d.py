@@ -18,7 +18,33 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.dw_conv import depthwise_conv3d
 from .layers import SubBatchNorm, SqueezeExcite, kaiming_normal, swish
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise 3-D conv dispatching to the fast implementations in
+    :mod:`..ops.pallas.dw_conv` (XLA shift-and-add / Pallas stencil) instead
+    of the generic conv lowering — ~2.5× faster at X3D shapes on TPU.
+
+    Parameter layout matches ``flax.linen.Conv`` with
+    ``feature_group_count=C`` (kernel ``(D, H, W, 1, C)``), so checkpoints
+    and the torch converter are unaffected.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    impl: str = "shift_add"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", kaiming_normal,
+            self.kernel_size + (1, self.features), jnp.float32,
+        )
+        return depthwise_conv3d(x, kernel.astype(x.dtype), self.strides,
+                                impl=self.impl)
 
 
 def get_inplanes(version: str) -> list[Tuple[int, int]]:
@@ -48,6 +74,7 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     t_downsample: bool = False  # fine-only: stride T too (x3d_fine.py:93)
     bn_splits: int = 1
+    dw_impl: str = "shift_add"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -60,11 +87,8 @@ class Bottleneck(nn.Module):
         out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn1")(out, train)
         out = nn.relu(out)
 
-        out = nn.Conv(
-            self.mid_planes, (3, 3, 3), strides=strides, padding=1,
-            feature_group_count=self.mid_planes, use_bias=False, name="conv2",
-            kernel_init=kaiming_normal, dtype=x.dtype,
-        )(out)
+        out = DepthwiseConv(self.mid_planes, (3, 3, 3), strides=strides,
+                            impl=self.dw_impl, name="conv2")(out)
         out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn2")(out, train)
 
         if self.use_se:
@@ -102,6 +126,7 @@ class X3DStage(nn.Module):
     t_downsample: bool = False
     bn_splits: int = 1
     remat: bool = False
+    dw_impl: str = "shift_add"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -117,6 +142,7 @@ class X3DStage(nn.Module):
                 has_downsample=(i == 0),
                 t_downsample=self.t_downsample,
                 bn_splits=self.bn_splits,
+                dw_impl=self.dw_impl,
                 name=f"block{i}",
             )(x, train)
         return x
@@ -128,6 +154,7 @@ class X3DStem(nn.Module):
 
     planes: int
     bn_splits: int = 1
+    dw_impl: str = "shift_add"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -136,11 +163,8 @@ class X3DStem(nn.Module):
             use_bias=False, name="conv1_s", kernel_init=kaiming_normal,
             dtype=x.dtype,
         )(x)
-        x = nn.Conv(
-            self.planes, (5, 1, 1), padding=(2, 0, 0),
-            feature_group_count=self.planes, use_bias=False, name="conv1_t",
-            kernel_init=kaiming_normal, dtype=x.dtype,
-        )(x)
+        x = DepthwiseConv(self.planes, (5, 1, 1), impl=self.dw_impl,
+                          name="conv1_t")(x)
         x = SubBatchNorm(self.planes, self.bn_splits, name="bn1")(x, train)
         return nn.relu(x)
 
