@@ -212,7 +212,7 @@ class CoarseNet(nn.Module):
     crops: int = 1
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
-    dw_impl: str = "shift_add"
+    dw_impl: str = "lax"
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact

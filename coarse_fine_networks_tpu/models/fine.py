@@ -44,7 +44,7 @@ class FineNet(nn.Module):
     global_tower: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
-    dw_impl: str = "shift_add"
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):

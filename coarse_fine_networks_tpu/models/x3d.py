@@ -5,9 +5,9 @@ duplicated at ``x3d_coarse.py:106-172``): stem = spatial 1×3×3/s(1,2,2) conv +
 depthwise temporal 5×1×1 conv; four stages of bottlenecks with depthwise 3³
 convs, SE on even blocks, Swish; head conv5 + bn5.
 
-Depthwise 3-D convs lower to ``lax.conv_general_dilated`` with
-``feature_group_count=C`` — channels-last keeps C in the lane dimension so the
-VPU handles them well; pointwise 1×1×1 convs are matmuls on the MXU.
+Depthwise 3-D convs go through :class:`DepthwiseConv` (pluggable generic /
+shift-and-add / Pallas implementations); pointwise 1×1×1 convs are matmuls on
+the MXU.
 """
 
 from __future__ import annotations
@@ -23,9 +23,12 @@ from .layers import SubBatchNorm, SqueezeExcite, kaiming_normal, swish
 
 
 class DepthwiseConv(nn.Module):
-    """Depthwise 3-D conv dispatching to the fast implementations in
-    :mod:`..ops.pallas.dw_conv` (XLA shift-and-add / Pallas stencil) instead
-    of the generic conv lowering — ~2.5× faster at X3D shapes on TPU.
+    """Depthwise 3-D conv with a pluggable implementation
+    (:mod:`..ops.pallas.dw_conv`): generic ``lax`` conv (default — in-model
+    XLA fuses it with surrounding elementwise ops and wins end-to-end),
+    XLA shift-and-add, or the Pallas stencil kernel (both measured ~2.5×
+    faster *standalone* but losing those fusions in the full step; kept as
+    options for further kernel work).
 
     Parameter layout matches ``flax.linen.Conv`` with
     ``feature_group_count=C`` (kernel ``(D, H, W, 1, C)``), so checkpoints
@@ -35,7 +38,7 @@ class DepthwiseConv(nn.Module):
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
-    impl: str = "shift_add"
+    impl: str = "lax"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -74,7 +77,7 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     t_downsample: bool = False  # fine-only: stride T too (x3d_fine.py:93)
     bn_splits: int = 1
-    dw_impl: str = "shift_add"
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -126,7 +129,7 @@ class X3DStage(nn.Module):
     t_downsample: bool = False
     bn_splits: int = 1
     remat: bool = False
-    dw_impl: str = "shift_add"
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -154,7 +157,7 @@ class X3DStem(nn.Module):
 
     planes: int
     bn_splits: int = 1
-    dw_impl: str = "shift_add"
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:

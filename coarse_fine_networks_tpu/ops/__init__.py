@@ -10,6 +10,7 @@ from .resample import (
     temporal_resample,
     linear_resize,
     inverse_cdf,
+    interp1d,
 )
 from .gaussian import gaussian_alignment
 from .reweight import reweight_aggregate
@@ -25,6 +26,7 @@ __all__ = [
     "temporal_resample",
     "linear_resize",
     "inverse_cdf",
+    "interp1d",
     "gaussian_alignment",
     "reweight_aggregate",
     "adaptive_avg_pool_spatial",

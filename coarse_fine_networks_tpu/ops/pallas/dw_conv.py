@@ -108,20 +108,17 @@ def _sa_bwd(strides, res, g):
                 dx = term if dx is None else dx + term
 
     # --- dw ---------------------------------------------------------------
-    xp = jnp.pad(x, ((0, 0), (pt, pt), (ph, ph), (pw, pw), (0, 0)))
-    taps = []
-    for dt in range(kt):
-        for dh in range(kh):
-            for dw_ in range(kw):
-                sl = jax.lax.slice(
-                    xp, (0, dt, dh, dw_, 0),
-                    (x.shape[0], dt + (g.shape[1] - 1) * st + 1,
-                     dh + (g.shape[2] - 1) * sh + 1,
-                     dw_ + (g.shape[3] - 1) * sw + 1, c),
-                    (1, st, sh, sw, 1))
-                taps.append(jnp.sum((sl * g).astype(jnp.float32),
-                                    axis=(0, 1, 2, 3)))
-    dw = jnp.stack(taps).reshape(kt, kh, kw, 1, c).astype(w.dtype)
+    # per-tap multiply-reduces would cost one full pass over x per tap (27
+    # passes); XLA's kernel-grad convolution does it in one — reuse it.
+    def lax_conv(ww):
+        pads = [(kt // 2,) * 2, (kh // 2,) * 2, (kw // 2,) * 2]
+        return jax.lax.conv_general_dilated(
+            x, ww, strides, pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c)
+
+    _, w_vjp = jax.vjp(lax_conv, w)
+    (dw,) = w_vjp(g)
     return dx, dw
 
 
@@ -316,4 +313,15 @@ def depthwise_conv3d(
     )
     if use_pallas:
         return _dw_pallas(x, w, interpret)
-    return _shift_add(x, w, strides)
+    kt, kh, kw = w.shape[:3]
+    if tuple(strides) == (1, 1, 1) and kh == 1 and kw == 1:
+        # temporal-only stencil: all shifted slices are tile-aligned along T,
+        # so the fused shift-add beats the generic conv (~2.5x measured).
+        # Spatial shifts would be lane-misaligned (C < 128 is the minor dim)
+        # and lower to relayout copies — the generic conv wins there.
+        return _shift_add(x, w, strides)
+    pads = [(k // 2, k // 2) for k in w.shape[:3]]
+    return jax.lax.conv_general_dilated(
+        x, w, strides, pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=x.shape[-1])

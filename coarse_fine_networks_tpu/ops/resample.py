@@ -137,3 +137,30 @@ def inverse_cdf(knots: jax.Array, num_out: int | None = None) -> jax.Array:
     y1 = (ind + 1).astype(knots.dtype) / (k - 1)
     slope = (y1 - y0) / (_F32_EPS + (x1 - x0))
     return y0 + slope * (u[None, :] - x0)
+
+
+def interp1d(x: jax.Array, y: jax.Array, xnew: jax.Array) -> jax.Array:
+    """General batched linear 1-D interpolation (API parity with the
+    reference's ``Interp1d`` utility, ``interp1d.py:4-162``).
+
+    Args:
+      x: ``(B, N)`` monotonically increasing sample abscissae.
+      y: ``(B, N)`` sample values.
+      xnew: ``(B, P)`` query points.
+
+    Returns:
+      ``(B, P)`` linearly interpolated (and, outside the support, linearly
+      extrapolated from the edge segment — matching the reference).
+
+    Unlike the reference, gradients to all three inputs come from plain JAX
+    autodiff of the gather+lerp — no re-run-autograd backward needed.
+    """
+    n = x.shape[1]
+    ind = jax.vmap(lambda xi, qi: jnp.searchsorted(xi, qi, side="left"))(x, xnew)
+    ind = jnp.clip(ind - 1, 0, n - 2)
+    x0 = jnp.take_along_axis(x, ind, axis=1)
+    x1 = jnp.take_along_axis(x, ind + 1, axis=1)
+    y0 = jnp.take_along_axis(y, ind, axis=1)
+    y1 = jnp.take_along_axis(y, ind + 1, axis=1)
+    slope = (y1 - y0) / (_F32_EPS + (x1 - x0))
+    return y0 + slope * (xnew - x0)

@@ -150,3 +150,18 @@ def test_update_bn_splits():
     assert out["bn1"]["split_mean"].shape == (16,)
     assert float(out["bn1"]["split_mean"].sum()) == 0.0
     assert float(out["bn1"]["split_var"].sum()) == 16.0
+
+
+def test_long_cycle_schedule():
+    from coarse_fine_networks_tpu.train.multigrid import LongCycleSchedule
+
+    sched = LongCycleSchedule(base_frames=320, base_crop=224, base_batch=8)
+    f0, c0, b0 = sched.shapes(0)
+    assert (f0, b0) == (80, 64) and c0 <= 224
+    f3, c3, b3 = sched.shapes(3)
+    assert (f3, c3, b3) == (320, 224, 8)
+    stats = {"bn1": {"mean": jnp.zeros(4), "var": jnp.ones(4),
+                     "split_mean": jnp.zeros(4), "split_var": jnp.ones(4)}}
+    new_stats, scale = sched.transition(0, stats)
+    assert scale == 8
+    assert new_stats["bn1"]["split_mean"].shape == (32,)

@@ -122,3 +122,19 @@ def test_grid_pool_roundtrip_identity_for_uniform_scores():
     )
     inv = inverse_cdf(knots)
     np.testing.assert_allclose(np.asarray(inv)[0], np.arange(k) / (k - 1), atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_general_interp1d_matches_reference_math(seed):
+    from coarse_fine_networks_tpu.ops import interp1d
+
+    rng = np.random.RandomState(seed)
+    b, n, p = 3, 12, 7
+    x = np.sort(rng.rand(b, n).astype(np.float32) * 4, axis=1)
+    y = rng.randn(b, n).astype(np.float32)
+    q = (rng.rand(b, p).astype(np.float32) * 5) - 0.5  # incl. extrapolation
+
+    ref = _torch_interp1d(torch.from_numpy(x), torch.from_numpy(y),
+                          torch.from_numpy(q)).numpy()
+    got = np.asarray(interp1d(jnp.asarray(x), jnp.asarray(y), jnp.asarray(q)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
