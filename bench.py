@@ -68,16 +68,51 @@ def bench_fine_forward():
     }))
 
 
+def bench_joint_inference():
+    """BASELINE config #4: end-to-end Coarse-Fine joint inference (fine tower
+    + fusion + coarse stream in one jitted program).  Reference whole-video
+    val ran ~1.85 videos/s across 5 GPUs (log_coarse_fine_train.txt:28-29)
+    ⇒ 0.37 videos/s/GPU."""
+    from coarse_fine_networks_tpu.models import CoarseFinePipeline
+
+    rng = np.random.RandomState(0)
+    b, t, tf = 1, T, TF
+    clips = jnp.asarray(rng.rand(b, t, HW, HW, 3), DTYPE)
+    fine_clips = jnp.asarray(rng.rand(b, tf, HW, HW, 3), DTYPE)
+    meta = jnp.asarray([[0, t, 2 * t, 1]] * b, jnp.int32)
+    m = CoarseFinePipeline(n_classes=N_CLASSES, compute_dtype=DTYPE)
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, clips,
+                               fine_clips, meta))()
+    fwd = jax.jit(lambda v: m.apply(v, clips, fine_clips, meta, label_len=TL))
+    out = fwd(v)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(STEPS):
+        out = fwd(v)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / STEPS
+    print(json.dumps({
+        "metric": "joint_inference_videos_per_sec_per_chip",
+        "value": round(1.0 / dt, 2),
+        "unit": "videos/s/chip (fine tower T=128 + coarse T=64 @ 224^2)",
+        "vs_baseline": round((1.0 / dt) / (1.85 / 5), 2),
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_MODE") == "fine_forward":
+    mode = os.environ.get("BENCH_MODE")
+    if mode == "fine_forward":
         bench_fine_forward()
+        return
+    if mode == "joint_inference":
+        bench_joint_inference()
         return
     from coarse_fine_networks_tpu.models import CoarseNet
     from coarse_fine_networks_tpu.train import TrainState, make_train_step
 
     rng = np.random.RandomState(0)
     batch = {
-        "clips": jnp.asarray(rng.rand(B, T, HW, HW, 3), jnp.float32),
+        "clips": jnp.asarray(rng.rand(B, T, HW, HW, 3), DTYPE),
         "feats": {
             k: jnp.asarray(rng.rand(B, TF, 7, 7, c), jnp.float32)
             for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),

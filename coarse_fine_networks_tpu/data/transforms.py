@@ -16,6 +16,7 @@ testing and CPU-only use.
 
 from __future__ import annotations
 
+import functools
 import random
 from typing import Optional, Sequence
 
@@ -279,10 +280,10 @@ class MultiScaleRandomCropMultigrid(MultiScaleRandomCrop):
         self.tl_y = random.random()
 
 
-@jax.jit
-def _device_normalize(clips_u8, flip, mean, std):
+@functools.partial(jax.jit, static_argnums=(4,))
+def _device_normalize(clips_u8, flip, mean, std, out_dtype):
     x = clips_u8.astype(jnp.float32) / 255.0
-    x = (x - mean) / std
+    x = ((x - mean) / std).astype(out_dtype)
     flipped = x[:, :, :, ::-1, :]
     return jnp.where(flip[:, None, None, None, None], flipped, x)
 
@@ -292,9 +293,14 @@ def device_normalize(
     flip: jax.Array,              # (B,) bool — per-clip horizontal flip
     mean: Sequence[float] = CHARADES_MEAN,
     std: Sequence[float] = CHARADES_STD,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """Batched on-device ToTensor + Normalize + RandomHorizontalFlip."""
+    """Batched on-device ToTensor + Normalize + RandomHorizontalFlip.
+
+    ``out_dtype=bfloat16`` feeds the trunk directly in its compute dtype —
+    no separate convert pass over the biggest tensor in the model."""
     return _device_normalize(
         clips_u8, jnp.asarray(flip),
         jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32),
+        jnp.dtype(out_dtype),
     )

@@ -5,6 +5,7 @@ from .layers import SubBatchNorm, SqueezeExcite, Swish, round_width
 from .x3d import Bottleneck, X3DStage, X3DStem, X3DHead, get_inplanes, get_blocks
 from .fine import FineNet
 from .coarse import CoarseNet, GridPool, RewightLayer, MixingLayer
+from .pipeline import CoarseFinePipeline
 
 __all__ = [
     "SubBatchNorm",
@@ -19,6 +20,7 @@ __all__ = [
     "get_blocks",
     "FineNet",
     "CoarseNet",
+    "CoarseFinePipeline",
     "GridPool",
     "RewightLayer",
     "MixingLayer",

@@ -27,7 +27,8 @@ log = get_logger()
 
 
 def prepare_clips(batch: Dict[str, Any], train: bool,
-                  mean=CHARADES_MEAN, std=CHARADES_STD) -> jax.Array:
+                  mean=CHARADES_MEAN, std=CHARADES_STD,
+                  dtype=jnp.float32) -> jax.Array:
     """uint8 host batch → normalised device clips.
 
     Train: squeeze the crops axis (``train_fine.py:179``).
@@ -39,15 +40,19 @@ def prepare_clips(batch: Dict[str, Any], train: bool,
     b, n = clips.shape[:2]
     clips = clips.reshape((b * n,) + clips.shape[2:])
     flip = np.repeat(np.asarray(batch["flip"]), n)
-    x = device_normalize(jnp.asarray(clips), flip, mean, std)
+    x = device_normalize(jnp.asarray(clips), flip, mean, std, out_dtype=dtype)
     cm = jnp.repeat(jnp.asarray(batch["clip_mask"]), n, axis=0)
     return x * cm[:, :, None, None, None]
 
 
-def model_batch(batch: Dict[str, Any], train: bool) -> Dict[str, Any]:
-    """Assemble the device batch dict consumed by train/eval steps."""
+def model_batch(batch: Dict[str, Any], train: bool,
+                dtype=jnp.float32) -> Dict[str, Any]:
+    """Assemble the device batch dict consumed by train/eval steps.
+
+    ``dtype`` should be the model's compute dtype so the normalised clips go
+    straight to the trunk without a convert pass."""
     out = {
-        "clips": prepare_clips(batch, train),
+        "clips": prepare_clips(batch, train, dtype=dtype),
         "labels": jnp.asarray(batch["labels"]),
         "masks": jnp.asarray(batch["masks"]),
     }

@@ -134,7 +134,8 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                 for batch in train_loader:
                     if batch["clips"].shape[0] != cfg.batch_size:
                         continue
-                    mb = model_batch(batch, train=True)
+                    mb = model_batch(batch, train=True,
+                                     dtype=jnp.dtype(cfg.compute_dtype))
                     if mesh is not None:
                         mb = shard_batch(mb, mesh)
                     lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
