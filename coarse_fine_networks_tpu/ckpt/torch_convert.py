@@ -222,3 +222,97 @@ def merge_trees(base: Dict, update: Dict, strict_shapes: bool = True) -> Dict:
         return out
 
     return rec(base, update, ())
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax pytree → reference-layout torch state_dict
+# ---------------------------------------------------------------------------
+
+_BLOCK_LEAF_INV = {
+    ("se", "fc1"): "fc1",
+    ("se", "fc2"): "fc2",
+    ("downsample_conv",): "downsample.0",
+    ("downsample_bn",): "downsample.1",
+}
+_TOP_INV = {v: k for k, v in _TOP.items()}
+_BN_LEAF_INV = {
+    ("params", "scale"): "weight",
+    ("params", "bias"): "bias",
+    ("batch_stats", "mean"): "bn.running_mean",
+    ("batch_stats", "var"): "bn.running_var",
+    ("batch_stats", "split_mean"): "split_bn.running_mean",
+    ("batch_stats", "split_var"): "split_bn.running_var",
+}
+
+
+def _inv_tensor(path: Tuple[str, ...], leaf: str, val: np.ndarray) -> np.ndarray:
+    if leaf == "bias" or val.ndim == 1:
+        return val
+    if val.ndim == 5:  # conv3d kernel (D,H,W,I/g,O) → (O,I/g,D,H,W)
+        return np.transpose(val, (4, 3, 0, 1, 2))
+    if val.ndim == 2:
+        w = np.transpose(val, (1, 0))  # dense → (O, I)
+        # RewightLayer/MixingLayer heads were Conv1d (O, I, 1) in torch
+        if len(path) >= 2 and (path[0].startswith("rw") or path[0].startswith("mix")):
+            w = w[:, :, None]
+        return w
+    return val
+
+
+def _flatten(tree: Dict, prefix=()):  # leaves: (path, array)
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def export_torch_state_dict(params: Dict, batch_stats: Dict) -> Dict[str, np.ndarray]:
+    """Flax collections → a reference-layout ``state_dict`` (numpy leaves;
+    wrap with ``torch.from_numpy`` for ``load_state_dict``).  Inverse of
+    :func:`convert_torch_state_dict` for the covered module set."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(collection: str, path: Tuple[str, ...], val: np.ndarray):
+        # --- BN leaves -------------------------------------------------
+        leaf = path[-1]
+        bn_key = (collection, leaf)
+        mod = path[:-1]
+        is_bn = mod and (mod[-1].startswith("bn")
+                         or mod[-1] == "downsample_bn")
+        if is_bn and bn_key in _BN_LEAF_INV:
+            torch_mod = _module_name(mod)
+            out[f"{torch_mod}.{_BN_LEAF_INV[bn_key]}"] = val
+            return
+        torch_leaf = {"kernel": "weight", "bias": "bias"}.get(leaf, leaf)
+        out[f"{_module_name(mod)}.{torch_leaf}"] = _inv_tensor(mod, leaf, val)
+
+    def _module_name(mod: Tuple[str, ...]) -> str:
+        # stem/head wrappers
+        if mod and mod[0] in ("stem", "head"):
+            mod = mod[1:]
+        # layerN/blockM/... → layerN.M....
+        parts = []
+        i = 0
+        while i < len(mod):
+            m = mod[i]
+            if m.startswith("block") and m[5:].isdigit():
+                parts.append(m[5:])
+                # block sub-leafs: se/fc1 etc.
+                rest = tuple(mod[i + 1:])
+                for flax_sub, torch_sub in _BLOCK_LEAF_INV.items():
+                    if rest[:len(flax_sub)] == flax_sub:
+                        parts.append(torch_sub)
+                        rest = rest[len(flax_sub):]
+                        break
+                parts.extend(rest)
+                return ".".join(parts)
+            parts.append(m)
+            i += 1
+        return ".".join(parts)
+
+    for path, val in _flatten(params):
+        emit("params", path, val)
+    for path, val in _flatten(batch_stats):
+        emit("batch_stats", path, val)
+    return out

@@ -88,6 +88,10 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         t_pool="grid", learned_mixing=True, is_mixing=True, crops=1,
         compute_dtype=jnp.dtype(cfg.compute_dtype), remat=cfg.remat,
     )
+    # multi-crop testing (x3d_coarse.py:209-211): a sibling module with the
+    # crops attribute set — same parameters, different static config
+    eval_model = (model if cfg.crops == 1 else
+                  model.clone(crops=cfg.crops))
     sample = next(iter(val_loader))
     mb0 = model_batch(sample, train=False)
     variables = jax.jit(
@@ -115,7 +119,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         weight_decay=cfg.weight_decay,
         fusion_lr_mult=cfg.fusion_lr_mult or 10.0,
     )
-    eval_step = make_eval_step(model, align_corners=cfg.align_corners)
+    eval_step = make_eval_step(eval_model, align_corners=cfg.align_corners)
     key = jax.random.PRNGKey(cfg.seed)
 
     tr_apm, val_apm = APMeter(), APMeter()
@@ -169,7 +173,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         out = eval_step(eval_state, mb, cfg.crops)
                         probs = np.asarray(out["probs"])
                     else:
-                        logits = _chunked_logits(model, eval_vars, mb,
+                        logits = _chunked_logits(eval_model, eval_vars, mb,
                                                  cfg.t_lim_inference)
                         tl = mb["labels"].shape[1]
                         logits = linear_resize(logits, tl,

@@ -1,0 +1,38 @@
+"""Round-trip: torch state_dict → flax → torch, bit-exact for the covered
+module set (reference fine model)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REF_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                                reason="reference unavailable")
+if os.path.isdir(REF_DIR) and REF_DIR not in sys.path:
+    sys.path.insert(0, REF_DIR)
+
+
+@pytest.mark.slow
+def test_fine_state_dict_roundtrip():
+    import x3d_fine
+
+    from coarse_fine_networks_tpu.ckpt import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    torch.manual_seed(0)
+    ref = x3d_fine.generate_model("M", n_classes=157, task="loc",
+                                  base_bn_splits=1)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    conv = convert_torch_state_dict(sd, "fine")
+    back = export_torch_state_dict(conv["params"], conv["batch_stats"])
+
+    missing = set(sd) - set(back)
+    assert not missing, sorted(missing)[:10]
+    for k, v in sd.items():
+        np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)

@@ -164,3 +164,31 @@ def test_data_parallel_step_matches_single_device():
     l1 = jax.device_get(s1.params["fc2"]["kernel"])
     l2 = jax.device_get(s2.params["fc2"]["kernel"])
     np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sequence_sharded_reweight_matches_single_device():
+    """T_f-sharded fusion attention (partial sums + psum over the mesh)
+    equals the dense single-device aggregation."""
+    from coarse_fine_networks_tpu.ops import reweight_aggregate
+    from coarse_fine_networks_tpu.parallel.sequence import (
+        sequence_sharded_reweight,
+        shard_time,
+    )
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    b, tf, tc, h, c = 2, 32, 5, 7, 6  # tf divisible by 8
+    feat = jnp.asarray(rng.rand(b, tf, h, h, c), jnp.float32)
+    gate = jnp.asarray(rng.rand(b, tf, h, h), jnp.float32)
+    align = jnp.asarray(rng.rand(b, tf, tc), jnp.float32)
+    mask = jnp.asarray((rng.rand(b, tf) > 0.2), jnp.float32)
+
+    ref = reweight_aggregate(feat, gate, align, mask)
+    got = sequence_sharded_reweight(
+        shard_time(feat, mesh), shard_time(gate, mesh),
+        shard_time(align, mesh), shard_time(mask, mesh), mesh,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
