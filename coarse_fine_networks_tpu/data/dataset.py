@@ -14,10 +14,9 @@ axes up to fixed bucket multiples so jit sees a small number of shapes
 
 from __future__ import annotations
 
-import functools
 import os
 import random
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image

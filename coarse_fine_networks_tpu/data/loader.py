@@ -12,7 +12,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, List
 
 
 class PrefetchLoader:

@@ -9,7 +9,7 @@ official external evaluation script (README.md:39).
 from __future__ import annotations
 
 import csv
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ Layout is channels-last ``(B, T, H, W, C)`` and logits are time-major
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

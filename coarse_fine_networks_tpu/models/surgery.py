@@ -5,12 +5,11 @@ BN-split rebuild hook (functional equivalents of ``replace_logits``,
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
 
 
 def _dense_init(rng, in_dim: int, out_dim: int):

@@ -10,8 +10,6 @@ sequence-parallel decomposition of attention-like sums.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

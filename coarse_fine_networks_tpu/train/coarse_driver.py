@@ -10,7 +10,7 @@ two train phases per val (``:162``); logit upsampling without align_corners
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

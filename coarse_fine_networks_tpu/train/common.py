@@ -4,7 +4,7 @@ restore, BN aggregation."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -11,7 +11,7 @@ layout for drop-in compatibility.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -63,14 +63,12 @@ def run(cfg: DriverConfig, save_dir: str, fine_ckpt: Optional[str] = None,
                 num_workers=cfg.num_workers, prefetch=cfg.prefetch,
             )
 
-    loader = next(iter(loaders()))
-
     model = FineNet(
         version=cfg.x3d_version, n_classes=cfg.num_classes, task="loc",
         bn_splits=cfg.base_bn_splits, global_tower=True,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
-    sample = next(iter(loader))
+    sample = next(iter(next(iter(loaders()))))
     init_clips = model_batch(sample, train=False)["clips"]
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, init_clips,

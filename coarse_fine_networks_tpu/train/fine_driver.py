@@ -9,8 +9,7 @@ Same loop shape as the reference: each outer cycle runs
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
