@@ -178,9 +178,21 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         tl = mb["labels"].shape[1]
                         logits = linear_resize(logits, tl,
                                                cfg.align_corners)
-                        probs = np.asarray(
-                            jax.nn.sigmoid(logits) * mb["masks"][:, :, None]
-                        )
+                        if cfg.crops > 1:
+                            # multi-crop max-reduce over sigmoid probs
+                            # (train_coarse_fineFEAT.py:231-234)
+                            bn = logits.shape[0]
+                            logits = logits.reshape(bn // cfg.crops,
+                                                    cfg.crops, tl, -1)
+                            probs_c = jax.nn.sigmoid(logits)
+                            probs = np.asarray(
+                                jnp.max(probs_c, axis=1)
+                                * mb["masks"][:, :, None]
+                            )
+                        else:
+                            probs = np.asarray(
+                                jax.nn.sigmoid(logits) * mb["masks"][:, :, None]
+                            )
                     valid = batch["masks"].sum(axis=1).astype(int)
                     for b in range(probs.shape[0]):
                         p25, l25 = subsample_25(probs[b], valid[b],

@@ -91,3 +91,19 @@ def test_fine_driver_resume(mini):
                 save_dir=os.path.join(root, "models_resume"))
     res = fine_driver.run(cfg2)  # resumes from step-2 checkpoint
     assert res is not None
+
+
+@pytest.mark.slow
+def test_coarse_driver_multicrop_eval(mini):
+    """crops=2 validation: interleaved crop clips, per-crop Gaussian offsets,
+    max-reduced probabilities."""
+    root, anno = mini
+    feat_dir = os.path.join(root, "fine_feats")
+    if not os.path.isdir(feat_dir):
+        ecfg = _cfg(root, anno, frames=8)
+        extract_driver.run(ecfg, feat_dir, None)
+    ccfg = _cfg(root, anno, fine_feat_dir=feat_dir, align_corners=False,
+                crops=2, max_steps=None, max_epochs=1,
+                save_dir=os.path.join(root, "models_mc"))
+    res = coarse_driver.run(ccfg)
+    assert "val_map" in res and np.isfinite(res["val_map"])
