@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
+from . import native
 from .annotations import make_dataset
 from .transforms import RandomHorizontalFlip
 
@@ -87,6 +88,7 @@ class CharadesDataset:
         min_frames: Optional[int] = None,
         num_classes: int = 157,
         crop_size: int = 224,
+        decode_backend: str = "auto",
         seed: int = 0,
     ):
         kwargs = {} if min_frames is None else {"min_frames": min_frames}
@@ -103,6 +105,24 @@ class CharadesDataset:
         self.feature_keys = tuple(feature_keys)
         self.crop_size = crop_size  # passed to randomize_parameters (the
         # multigrid dynamic crop size; charades_fine.py:171 hardcodes 224)
+        # native C++ decode+CenterCropScaled fast path: only valid when the
+        # transform pipeline is exactly a centre-crop-scale (val/extract);
+        # 'auto' enables it when the library is built.
+        from .transforms import CenterCropScaled, Compose
+
+        is_ccs = (
+            isinstance(spatial_transform, Compose)
+            and len(spatial_transform.transforms) == 1
+            and isinstance(spatial_transform.transforms[0], CenterCropScaled)
+        )
+        self.native_crop = (
+            spatial_transform.transforms[0].size[0]
+            if is_ccs and decode_backend in ("auto", "native")
+            and native.available() else None
+        )
+        if decode_backend == "native" and self.native_crop is None:
+            raise ValueError("native decode requires a CenterCropScaled-only "
+                             "transform and a built native library")
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -137,21 +157,31 @@ class CharadesDataset:
         if self.split == "testing" and self.task == "loc":
             stride_f = stride_f // self.crops
 
-        imgs = load_clip_frames(self.root, vid, start_f, frames, stride_f)
+        if self.native_crop is not None:
+            paths = []
+            for i in range(start_f, start_f + frames, stride_f):
+                p = os.path.join(self.root, vid, f"{vid}-{i:06d}.jpg")
+                if not os.path.exists(p):
+                    break  # stop at first gap (charades_fine.py:54-55)
+                paths.append(p)
+            arr = native.decode_batch(paths, self.native_crop)
+        else:
+            imgs = load_clip_frames(self.root, vid, start_f, frames, stride_f)
         label = label[start_f - 1 : start_f - 1 + frames]
         if self.task == "class":
             label = label.max(axis=0)
 
         flip = False
-        if self.spatial_transform is not None:
-            self.spatial_transform.randomize_parameters(self.crop_size)
-            for t in getattr(self.spatial_transform, "transforms",
-                             [self.spatial_transform]):
-                if isinstance(t, RandomHorizontalFlip) and t.deferred:
-                    flip = t.flipped
-            imgs = [self.spatial_transform(img) for img in imgs]
-        arr = np.stack([np.asarray(im, np.uint8) for im in imgs], axis=0)
-        # (T, H, W, 3) uint8
+        if self.native_crop is None:
+            if self.spatial_transform is not None:
+                self.spatial_transform.randomize_parameters(self.crop_size)
+                for t in getattr(self.spatial_transform, "transforms",
+                                 [self.spatial_transform]):
+                    if isinstance(t, RandomHorizontalFlip) and t.deferred:
+                        flip = t.flipped
+                imgs = [self.spatial_transform(img) for img in imgs]
+            arr = np.stack([np.asarray(im, np.uint8) for im in imgs], axis=0)
+            # (T, H, W, 3) uint8
 
         if self.split == "testing":
             if self.task == "class":

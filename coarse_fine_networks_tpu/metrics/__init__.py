@@ -2,5 +2,7 @@
 
 from .ap import APMeter
 from .localize import LocalizeCSVWriter, subsample_25
+from .charades_eval import evaluate_localization
 
-__all__ = ["APMeter", "LocalizeCSVWriter", "subsample_25"]
+__all__ = ["APMeter", "LocalizeCSVWriter", "subsample_25",
+           "evaluate_localization"]

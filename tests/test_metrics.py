@@ -67,3 +67,43 @@ def test_localize_csv_rows(tmp_path):
     assert rows[0][0] == "VID01"
     assert float(rows[1][1]) == pytest.approx(1 + 30.0 / 25.0)
     assert len(rows[0][2].split(" ")) == 4
+
+
+def test_evaluate_localization_end_to_end(tmp_path):
+    """Write a submission with our CSV writer, evaluate with the in-house
+    Charades_v1_localize evaluator; a perfect submission scores mAP 1."""
+    from coarse_fine_networks_tpu.metrics import evaluate_localization
+
+    rng = np.random.RandomState(0)
+    num_classes = 6
+    annotations = {
+        "V0": {"duration": 25.0, "actions": [[0, 2.0, 10.0], [3, 12.0, 20.0]]},
+        "V1": {"duration": 25.0, "actions": [[1, 0.5, 24.0]]},
+    }
+    path = str(tmp_path / "sub.csv")
+    with LocalizeCSVWriter(path) as w:
+        for vid, ann in annotations.items():
+            probs = np.zeros((25, num_classes), np.float32)
+            for i in range(25):
+                t = 1 + i * ann["duration"] / 25.0
+                for cls, s, e in ann["actions"]:
+                    if s < t < e:
+                        probs[i, cls] = 0.9
+            probs += rng.rand(25, num_classes).astype(np.float32) * 0.05
+            w.add_video(vid, probs, ann["duration"])
+
+    mAP, ap = evaluate_localization(path, annotations, num_classes)
+    assert ap.shape == (num_classes,)
+    # annotated classes are ranked perfectly; classes with no positives score
+    # AP 0 by the reference convention (apmeter.py:135)
+    assert ap[[0, 1, 3]].min() > 0.95
+    assert ap[[2, 4, 5]].max() == 0.0
+
+    # a random submission scores much lower on the annotated classes
+    path2 = str(tmp_path / "rand.csv")
+    with LocalizeCSVWriter(path2) as w:
+        for vid, ann in annotations.items():
+            w.add_video(vid, rng.rand(25, num_classes).astype(np.float32),
+                        ann["duration"])
+    mAP2, _ = evaluate_localization(path2, annotations, num_classes)
+    assert mAP2 < mAP

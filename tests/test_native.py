@@ -50,3 +50,30 @@ def test_decode_batch_reports_missing(frames, tmp_path):
     bad = str(tmp_path / "missing.jpg")
     with pytest.raises(IOError):
         native.decode_batch([frames[0], bad], out_size=16)
+
+
+def test_dataset_native_fast_path(tmp_path):
+    """CenterCropScaled val sampling via the C++ decoder matches the PIL path
+    closely (resize filters differ slightly)."""
+    from coarse_fine_networks_tpu.data import (
+        CharadesDataset,
+        CenterCropScaled,
+        Compose,
+    )
+
+    anno = generate_mini_charades(str(tmp_path), num_videos=2, num_frames=24,
+                                  hw=40)
+    kwargs = dict(task="loc", frames=4, gamma_tau=1, min_frames=5)
+    tform = Compose([CenterCropScaled(32)])
+    ds_pil = CharadesDataset(anno, "testing", os.path.join(str(tmp_path), "frames"),
+                             spatial_transform=tform, decode_backend="pil",
+                             **kwargs)
+    ds_nat = CharadesDataset(anno, "testing", os.path.join(str(tmp_path), "frames"),
+                             spatial_transform=tform, decode_backend="native",
+                             **kwargs)
+    a = ds_pil[0]
+    b = ds_nat[0]
+    assert a["clips"].shape == b["clips"].shape
+    diff = np.abs(a["clips"].astype(int) - b["clips"].astype(int))
+    assert diff.mean() < 12
+    np.testing.assert_array_equal(a["label"], b["label"])
