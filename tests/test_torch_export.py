@@ -36,3 +36,35 @@ def test_fine_state_dict_roundtrip():
     assert not missing, sorted(missing)[:10]
     for k, v in sd.items():
         np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
+
+
+@pytest.mark.slow
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    import x3d_fine
+    import torch
+
+    from coarse_fine_networks_tpu.cli import convert_checkpoint
+    from coarse_fine_networks_tpu.ckpt import load_checkpoint
+
+    torch.manual_seed(0)
+    ref = x3d_fine.generate_model("M", n_classes=7, task="loc",
+                                  base_bn_splits=1)
+    pt_in = str(tmp_path / "in.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, pt_in)
+
+    native = str(tmp_path / "conv.ckpt")
+    convert_checkpoint.main(["--input", pt_in, "--model", "fine",
+                             "--output", native])
+    raw = load_checkpoint(native)
+    assert "params" in raw["variables"]
+
+    pt_out = str(tmp_path / "out.pt")
+    convert_checkpoint.main(["--input", native, "--model", "fine",
+                             "--output", pt_out, "--to-torch"])
+    sd2 = torch.load(pt_out)["model_state_dict"]
+    sd1 = ref.state_dict()
+    for k, v in sd1.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(sd2[k].numpy(), v.numpy(), rtol=1e-6,
+                                   err_msg=k)
