@@ -165,3 +165,22 @@ def test_center_crop_scaled_matches_reference():
     ref = ref_st.CenterCropScaled(32)(img)
     got = CenterCropScaled(32)(img)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bucketing_bounds_shape_count(mini):
+    """Temporal bucketing pads batch shapes to multiples so jit sees a small,
+    bounded set of shapes (SURVEY.md §7 hard part #3)."""
+    root, anno = mini
+    ds = CharadesDataset(
+        anno, "training", os.path.join(root, "frames"),
+        spatial_transform=_train_transform(), task="loc",
+        frames=8, gamma_tau=1, min_frames=10, crop_size=32,
+    )
+    shapes = set()
+    for _ in range(6):
+        b = collate_clips([ds[0], ds[1]], pad_t_multiple=8,
+                          pad_label_multiple=16)
+        shapes.add((b["clips"].shape, b["labels"].shape))
+    assert len(shapes) == 1  # all batches land in the same bucket
+    t = b["clips"].shape[2]
+    assert t % 8 == 0 and b["labels"].shape[1] % 16 == 0

@@ -107,3 +107,12 @@ def test_coarse_driver_multicrop_eval(mini):
                 save_dir=os.path.join(root, "models_mc"))
     res = coarse_driver.run(ccfg)
     assert "val_map" in res and np.isfinite(res["val_map"])
+
+
+@pytest.mark.slow
+def test_fine_driver_multicrop_eval(mini):
+    root, anno = mini
+    cfg = _cfg(root, anno, crops=2, max_steps=None, max_epochs=1,
+               save_dir=os.path.join(root, "models_fine_mc"))
+    res = fine_driver.run(cfg)
+    assert "val_map" in res and np.isfinite(res["val_map"])

@@ -68,3 +68,29 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
             continue
         np.testing.assert_allclose(sd2[k].numpy(), v.numpy(), rtol=1e-6,
                                    err_msg=k)
+
+
+@pytest.mark.slow
+def test_coarse_state_dict_roundtrip():
+    import x3d_coarse
+    import torch
+
+    from coarse_fine_networks_tpu.ckpt import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    torch.manual_seed(1)
+    feat_depth = {"layer1": 24, "layer2": 48, "layer3": 96, "layer4": 192,
+                  "conv5": 432}
+    ref = x3d_coarse.generate_model(
+        "M", n_classes=157, feat_depth=feat_depth, task="loc",
+        base_bn_splits=1, learnedMixing=True, isMixing=True, t_pool="grid")
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    conv = convert_torch_state_dict(sd, "coarse")
+    back = export_torch_state_dict(conv["params"], conv["batch_stats"])
+    missing = set(sd) - set(back)
+    assert not missing, sorted(missing)[:10]
+    for k, v in sd.items():
+        np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
