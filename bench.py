@@ -127,7 +127,8 @@ def main():
     model = CoarseNet(version="M", n_classes=N_CLASSES, task="loc",
                       t_pool="grid", learned_mixing=True, is_mixing=True,
                       compute_dtype=DTYPE,
-                      remat=os.environ.get("BENCH_REMAT", "0") == "1")
+                      remat=os.environ.get("BENCH_REMAT", "0") == "1",
+                      stem_s2d=os.environ.get("BENCH_S2D", "1") == "1")
     log(f"init: B={B} T={T} HW={HW} TF={TF} dtype={DTYPE.__name__} "
         f"device={jax.devices()[0]}")
     t0 = time.time()

@@ -213,6 +213,7 @@ class CoarseNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     dw_impl: str = "lax"
+    stem_s2d: bool = True
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact
@@ -231,7 +232,7 @@ class CoarseNet(nn.Module):
         t_in = x.shape[1]
 
         x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
-                    name="stem")(x, train)
+                    s2d=self.stem_s2d, name="stem")(x, train)
         x = X3DStage(planes[0][0], planes[0][1], blocks[0], stride=2,
                      bn_splits=self.bn_splits, remat=self.remat,
                      dw_impl=self.dw_impl, name="layer1")(x, train)

@@ -45,6 +45,7 @@ class FineNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     dw_impl: str = "lax"
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -53,7 +54,7 @@ class FineNet(nn.Module):
         x = x.astype(self.compute_dtype)
 
         x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
-                    name="stem")(x, train)
+                    s2d=self.stem_s2d, name="stem")(x, train)
 
         feat_g: Dict[str, jax.Array] = {}
         for i, ((mid, out), nblocks) in enumerate(zip(planes, blocks)):

@@ -153,23 +153,75 @@ class X3DStage(nn.Module):
 
 class X3DStem(nn.Module):
     """Stem: spatial conv1_s + depthwise temporal conv1_t + bn1 + relu
-    (x3d_fine.py:210-224)."""
+    (x3d_fine.py:210-224).
+
+    ``s2d=True`` applies the classic TPU space-to-depth transform to the
+    first conv: the 3-channel (1,3,3)/s(1,2,2) conv becomes an exactly
+    equivalent (1,2,2)/s(1,1,1) conv over a 2×2-block-folded 12-channel
+    input, with the stored kernel rearranged at apply time — checkpoints are
+    unaffected and gradients flow to the original parameter.
+    """
 
     planes: int
     bn_splits: int = 1
     dw_impl: str = "lax"
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(
-            self.planes, (1, 3, 3), strides=(1, 2, 2), padding=(0, 1, 1),
-            use_bias=False, name="conv1_s", kernel_init=kaiming_normal,
-            dtype=x.dtype,
-        )(x)
+        if self.s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            x = _s2d_conv1_s(x, self, x.shape[-1])
+        else:
+            x = nn.Conv(
+                self.planes, (1, 3, 3), strides=(1, 2, 2), padding=(0, 1, 1),
+                use_bias=False, name="conv1_s", kernel_init=kaiming_normal,
+                dtype=x.dtype,
+            )(x)
         x = DepthwiseConv(self.planes, (5, 1, 1), impl=self.dw_impl,
                           name="conv1_t")(x)
         x = SubBatchNorm(self.planes, self.bn_splits, name="bn1")(x, train)
         return nn.relu(x)
+
+
+class _Conv1sParam(nn.Module):
+    """Holder exposing the canonical conv1_s kernel parameter (checkpoint
+    layout (1,3,3,C_in,planes)) for the space-to-depth path."""
+
+    planes: int
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal,
+                          (1, 3, 3, self.c_in, self.planes), jnp.float32)
+
+
+def _s2d_conv1_s(x: jax.Array, stem: "X3DStem", c_in: int) -> jax.Array:
+    """Space-to-depth-equivalent first conv (see X3DStem docstring).
+
+    For output row y, the source rows 2y-1..2y+1 live in s2d blocks
+    {y-1 (phase 1), y (phases 0,1)} — a 2-tap kernel over blocks with the
+    original taps scattered into (phase, channel) slots; zero-padding one
+    block on the top/left reproduces the original SAME padding.
+    """
+    w = _Conv1sParam(stem.planes, c_in, name="conv1_s")()
+    b, t, h, wd, _ = x.shape
+    xs = x.reshape(b, t, h // 2, 2, wd // 2, 2, c_in)
+    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        b, t, h // 2, wd // 2, 4 * c_in)
+
+    # scatter original taps w[0, dy, dx, c, o] into the (1,2,2,4c,o) kernel
+    w2 = jnp.zeros((1, 2, 2, 4 * c_in, stem.planes), w.dtype)
+    for dy in range(3):
+        k, p = (0, 1) if dy == 0 else (1, dy - 1)
+        for dx in range(3):
+            kx, q = (0, 1) if dx == 0 else (1, dx - 1)
+            w2 = w2.at[0, k, kx,
+                       (p * 2 + q) * c_in:(p * 2 + q) * c_in + c_in].set(
+                w[0, dy, dx])
+    return jax.lax.conv_general_dilated(
+        xs, w2.astype(x.dtype), (1, 1, 1), [(0, 0), (1, 0), (1, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 class X3DHead(nn.Module):

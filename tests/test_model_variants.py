@@ -165,3 +165,23 @@ def test_long_cycle_schedule():
     new_stats, scale = sched.transition(0, stats)
     assert scale == 8
     assert new_stats["bn1"]["split_mean"].shape == (32,)
+
+
+def test_s2d_stem_exact():
+    """Space-to-depth stem == plain stem with the same parameters."""
+    from coarse_fine_networks_tpu.models.x3d import X3DStem
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), jnp.float32)
+    m1 = X3DStem(24, s2d=False)
+    m2 = X3DStem(24, s2d=True)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x, False)
+    o1 = m1.apply(v, x, False)
+    o2 = m2.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5,
+                               atol=1e-6)
+    # gradient flows to the canonical conv1_s kernel
+    g = jax.grad(lambda p: jnp.sum(
+        m2.apply({"params": p, "batch_stats": v["batch_stats"]},
+                 x, False) ** 2))(v["params"])
+    assert np.abs(np.asarray(g["conv1_s"]["kernel"])).max() > 0
