@@ -128,7 +128,8 @@ def main():
                       t_pool="grid", learned_mixing=True, is_mixing=True,
                       compute_dtype=DTYPE,
                       remat=os.environ.get("BENCH_REMAT", "0") == "1",
-                      stem_s2d=os.environ.get("BENCH_S2D", "1") == "1")
+                      stem_s2d=os.environ.get("BENCH_S2D", "1") == "1",
+                      fold_pw=os.environ.get("BENCH_FOLD_PW", "0") == "1")
     log(f"init: B={B} T={T} HW={HW} TF={TF} dtype={DTYPE.__name__} "
         f"device={jax.devices()[0]}")
     t0 = time.time()

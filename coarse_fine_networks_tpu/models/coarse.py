@@ -214,6 +214,7 @@ class CoarseNet(nn.Module):
     remat: bool = False
     dw_impl: str = "lax"
     stem_s2d: bool = True
+    fold_pw: bool = False
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact
@@ -235,7 +236,8 @@ class CoarseNet(nn.Module):
                     s2d=self.stem_s2d, name="stem")(x, train)
         x = X3DStage(planes[0][0], planes[0][1], blocks[0], stride=2,
                      bn_splits=self.bn_splits, remat=self.remat,
-                     dw_impl=self.dw_impl, name="layer1")(x, train)
+                     dw_impl=self.dw_impl, fold_pw=self.fold_pw,
+                     name="layer1")(x, train)
 
         knots = None
         if self.t_pool == "avg":

@@ -46,6 +46,7 @@ class FineNet(nn.Module):
     remat: bool = False
     dw_impl: str = "lax"
     stem_s2d: bool = True
+    fold_pw: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -61,7 +62,8 @@ class FineNet(nn.Module):
             x = X3DStage(
                 mid, out, nblocks, stride=2, t_downsample=self.t_downsample,
                 bn_splits=self.bn_splits, remat=self.remat,
-                dw_impl=self.dw_impl, name=f"layer{i + 1}",
+                dw_impl=self.dw_impl, fold_pw=self.fold_pw and i == 0,
+                name=f"layer{i + 1}",
             )(x, train)
             if self.global_tower:
                 feat_g[f"layer{i + 1}"] = adaptive_avg_pool_spatial(x, TOWER_HW)

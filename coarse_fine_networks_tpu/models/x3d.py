@@ -66,6 +66,25 @@ def get_blocks(version: str) -> list[int]:
     return blocks[version]
 
 
+
+
+def _s2d(x: jax.Array) -> jax.Array:
+    """2×2 space-to-depth: (B,T,H,W,C) → (B,T,H/2,W/2,4C), channel order
+    ((p*2+q)*C + c)."""
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, w // 2,
+                                                    4 * c)
+
+
+def _d2s(x: jax.Array, c_out: int) -> jax.Array:
+    """Inverse of :func:`_s2d`."""
+    b, t, h2, w2, _ = x.shape
+    x = x.reshape(b, t, h2, w2, 2, 2, c_out)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h2 * 2, w2 * 2,
+                                                    c_out)
+
+
 class Bottleneck(nn.Module):
     """X3D bottleneck (x3d_fine.py:108-175): 1×1×1 expand → depthwise 3³
     (+stride) → SE (even index) → Swish → 1×1×1 project → residual + ReLU."""
@@ -78,6 +97,8 @@ class Bottleneck(nn.Module):
     t_downsample: bool = False  # fine-only: stride T too (x3d_fine.py:93)
     bn_splits: int = 1
     dw_impl: str = "lax"
+    fold_pw: bool = False  # run conv1 in 2×2 space-to-depth space (exact;
+    # K=4·C_in feeds the MXU better than tiny C_in at high resolution)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -85,8 +106,24 @@ class Bottleneck(nn.Module):
         strides = (s, s, s) if self.t_downsample else (1, s, s)
         residual = x
 
-        out = nn.Conv(self.mid_planes, (1, 1, 1), use_bias=False, name="conv1",
-                      kernel_init=kaiming_normal, dtype=x.dtype)(x)
+        if self.fold_pw and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            w1 = _Conv1x1Param(x.shape[-1], self.mid_planes, name="conv1")()
+            c_in, c_mid = x.shape[-1], self.mid_planes
+            # block-diagonal expansion: out_s2d[(pq,c')] = Σ_c W[c,c']·x[(pq,c)]
+            wbd = jnp.zeros((4 * c_in, 4 * c_mid), w1.dtype)
+            for pq in range(4):
+                wbd = wbd.at[pq * c_in:(pq + 1) * c_in,
+                             pq * c_mid:(pq + 1) * c_mid].set(w1[0, 0, 0])
+            xs = _s2d(x)
+            out = jax.lax.dot_general(
+                xs, wbd.astype(x.dtype),
+                (((4,), (0,)), ((), ())),
+                preferred_element_type=x.dtype)
+            out = _d2s(out, c_mid)
+        else:
+            out = nn.Conv(self.mid_planes, (1, 1, 1), use_bias=False,
+                          name="conv1", kernel_init=kaiming_normal,
+                          dtype=x.dtype)(x)
         out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn1")(out, train)
         out = nn.relu(out)
 
@@ -130,6 +167,7 @@ class X3DStage(nn.Module):
     bn_splits: int = 1
     remat: bool = False
     dw_impl: str = "lax"
+    fold_pw: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -146,6 +184,7 @@ class X3DStage(nn.Module):
                 t_downsample=self.t_downsample,
                 bn_splits=self.bn_splits,
                 dw_impl=self.dw_impl,
+                fold_pw=self.fold_pw and i == 0,
                 name=f"block{i}",
             )(x, train)
         return x
@@ -181,6 +220,19 @@ class X3DStem(nn.Module):
                           name="conv1_t")(x)
         x = SubBatchNorm(self.planes, self.bn_splits, name="bn1")(x, train)
         return nn.relu(x)
+
+
+class _Conv1x1Param(nn.Module):
+    """Canonical 1×1×1 conv kernel parameter (checkpoint layout
+    (1,1,1,C_in,C_out)) for the folded pointwise path."""
+
+    c_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal,
+                          (1, 1, 1, self.c_in, self.c_out), jnp.float32)
 
 
 class _Conv1sParam(nn.Module):
