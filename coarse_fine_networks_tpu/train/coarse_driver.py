@@ -56,9 +56,10 @@ def build_coarse_loaders(cfg: DriverConfig):
     return train_loader, val_loader
 
 
-def _chunked_logits(model, variables, mb, t_lim: int):
+def _chunked_logits(apply_fn, variables, mb, t_lim: int):
     """Long-video eval in fixed windows, advancing ``meta[:, 0]`` per chunk
-    (``train_coarse_fineFEAT.py:215-224``)."""
+    (``train_coarse_fineFEAT.py:215-224``).  ``apply_fn`` is jitted — at most
+    two shapes compile (full windows + the final remainder)."""
     clips = mb["clips"]
     t = clips.shape[1]
     outs = []
@@ -67,8 +68,7 @@ def _chunked_logits(model, variables, mb, t_lim: int):
         part = clips[:, ti * t_lim : min(t, (ti + 1) * t_lim)]
         if part.shape[1] == 0:
             break
-        logits = model.apply(variables, part, mb["feats"], mb["feat_mask"],
-                             meta, train=False)
+        logits = apply_fn(variables, part, mb["feats"], mb["feat_mask"], meta)
         outs.append(logits)
         meta = meta.at[:, 0].add(t_lim)
     return jnp.concatenate(outs, axis=1)
@@ -163,6 +163,9 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                 eval_state = bn_aggregated(state)
                 eval_vars = {"params": eval_state.params,
                              "batch_stats": eval_state.batch_stats}
+                chunk_apply = jax.jit(
+                    lambda v, c, f, m, me: eval_model.apply(
+                        v, c, f, m, me, train=False))
                 writer = (LocalizeCSVWriter(cfg.localize_csv)
                           if cfg.localize_csv else None)
                 nval = 0
@@ -173,7 +176,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         out = eval_step(eval_state, mb, cfg.crops)
                         probs = np.asarray(out["probs"])
                     else:
-                        logits = _chunked_logits(eval_model, eval_vars, mb,
+                        logits = _chunked_logits(chunk_apply, eval_vars, mb,
                                                  cfg.t_lim_inference)
                         tl = mb["labels"].shape[1]
                         logits = linear_resize(logits, tl,

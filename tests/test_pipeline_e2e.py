@@ -116,3 +116,18 @@ def test_fine_driver_multicrop_eval(mini):
                save_dir=os.path.join(root, "models_fine_mc"))
     res = fine_driver.run(cfg)
     assert "val_map" in res and np.isfinite(res["val_map"])
+
+
+@pytest.mark.slow
+def test_coarse_driver_chunked_long_video_eval(mini):
+    """Force the 1000-frame-window chunked inference path
+    (train_coarse_fineFEAT.py:215-224) with a tiny window."""
+    root, anno = mini
+    feat_dir = os.path.join(root, "fine_feats")
+    if not os.path.isdir(feat_dir):
+        extract_driver.run(_cfg(root, anno, frames=8), feat_dir, None)
+    ccfg = _cfg(root, anno, fine_feat_dir=feat_dir, align_corners=False,
+                max_steps=None, max_epochs=1, t_lim_inference=4,
+                save_dir=os.path.join(root, "models_chunk"))
+    res = coarse_driver.run(ccfg)
+    assert "val_map" in res and np.isfinite(res["val_map"])
