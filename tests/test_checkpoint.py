@@ -59,3 +59,19 @@ def test_merge_trees_semantics():
         merge_trees(base, {"a": np.zeros((3, 3))})
     out2 = merge_trees(base, {"a": np.full((3, 3), 9.0)}, strict_shapes=False)
     np.testing.assert_array_equal(out2["a"], base["a"])  # kept fresh init
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    from coarse_fine_networks_tpu.ckpt import orbax_backend as ob
+
+    if not ob.available():
+        pytest.skip("orbax unavailable")
+    state = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "step": 7,  # python scalars (orbax rejects numpy scalars)
+    }
+    d = str(tmp_path / "orbax_ck")
+    ob.save_checkpoint(d, state)
+    back = ob.load_checkpoint(d, state)
+    np.testing.assert_array_equal(back["params"]["w"], state["params"]["w"])
+    assert back["step"] == 7
