@@ -94,3 +94,40 @@ def test_coarse_state_dict_roundtrip():
     assert not missing, sorted(missing)[:10]
     for k, v in sd.items():
         np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
+
+
+@pytest.mark.slow
+def test_kinetics_transfer_load(tmp_path):
+    """The Kinetics-400 → Charades-157 transfer recipe: load a 400-class
+    torch checkpoint into a 157-class model; backbone restored, head kept
+    fresh (train_fine.py:104-111)."""
+    import x3d_fine
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from coarse_fine_networks_tpu.models import FineNet
+    from coarse_fine_networks_tpu.train.common import load_pretrained
+
+    torch.manual_seed(3)
+    ref = x3d_fine.generate_model("M", n_classes=400, task="loc",
+                                  base_bn_splits=1)
+    pt = str(tmp_path / "kinetics.pt")
+    torch.save({"model_state_dict": ref.state_dict()}, pt)
+
+    model = FineNet(version="M", n_classes=157, task="loc")
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, False))()
+    fresh_head = np.asarray(variables["params"]["fc2"]["kernel"])
+
+    loaded = load_pretrained(variables, pt, "fine")
+    # backbone weights came from the torch checkpoint
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["stem"]["conv1_s"]["kernel"]),
+        ref.state_dict()["conv1_s.weight"].numpy().transpose(2, 3, 4, 1, 0),
+        rtol=1e-6)
+    # 400-class head was skipped; fresh 157-class init kept
+    assert loaded["params"]["fc2"]["kernel"].shape == (2048, 157)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["fc2"]["kernel"]), fresh_head)
