@@ -11,6 +11,17 @@ import random
 from typing import List, Optional
 
 
+def _loop_pad(indices: List[int], size: int) -> List[int]:
+    """Repeat indices cyclically until ``size`` (the reference's loop-padding
+    idiom, temporal_transforms.py:12-18)."""
+    out = list(indices)
+    i = 0
+    while out and len(out) < size:
+        out.append(out[i % len(indices)])
+        i += 1
+    return out
+
+
 class LoopPadding:
     """Loop indices until ``size`` (temporal_transforms.py:6-19)."""
 
@@ -18,12 +29,7 @@ class LoopPadding:
         self.size = size
 
     def __call__(self, frame_indices: List[int]) -> List[int]:
-        out = list(frame_indices)
-        for index in out:
-            if len(out) >= self.size:
-                break
-            out.append(index)
-        return out
+        return _loop_pad(frame_indices, self.size)
 
 
 class TemporalBeginCrop:
@@ -33,12 +39,7 @@ class TemporalBeginCrop:
         self.size = size
 
     def __call__(self, frame_indices: List[int]) -> List[int]:
-        out = list(frame_indices[: self.size])
-        for index in out:
-            if len(out) >= self.size:
-                break
-            out.append(index)
-        return out
+        return _loop_pad(frame_indices[: self.size], self.size)
 
 
 class TemporalCenterCrop:
@@ -51,12 +52,7 @@ class TemporalCenterCrop:
         center = len(frame_indices) // 2
         begin = max(0, center - (self.size // 2))
         end = min(begin + self.size, len(frame_indices))
-        out = list(frame_indices[begin:end])
-        for index in out:
-            if len(out) >= self.size:
-                break
-            out.append(index)
-        return out
+        return _loop_pad(frame_indices[begin:end], self.size)
 
 
 class TemporalRandomCrop:
@@ -79,9 +75,5 @@ class TemporalRandomCrop:
         rand_end = max(0, len(frame_indices) - span - 1)
         begin = random.randint(0, rand_end)
         end = min(begin + span, len(frame_indices))
-        out = list(frame_indices[begin : end : self.t_stride * self.gamma_tau])
-        for index in out:
-            if len(out) >= self.size:
-                break
-            out.append(index)
-        return out
+        window = frame_indices[begin : end : self.t_stride * self.gamma_tau]
+        return _loop_pad(window, self.size)

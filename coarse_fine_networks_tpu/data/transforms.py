@@ -130,6 +130,26 @@ class CenterCropScaled(_Static):
         return img.resize(self.size, self.interpolation)
 
 
+
+
+def _corner_box(position: str, width: int, height: int, crop: int):
+    """Crop box (left, top, right, bottom) for a named corner/centre."""
+    if position == "c":
+        x1 = int(round((width - crop) / 2.0))
+        y1 = int(round((height - crop) / 2.0))
+    elif position == "tl":
+        x1, y1 = 0, 0
+    elif position == "tr":
+        x1, y1 = width - crop, 0
+    elif position == "bl":
+        x1, y1 = 0, height - crop
+    elif position == "br":
+        x1, y1 = width - crop, height - crop
+    else:
+        raise ValueError(position)
+    return (x1, y1, x1 + crop, y1 + crop)
+
+
 class CornerCrop:
     """Index-driven 5-position crop (spatial_transforms.py:280-336)."""
 
@@ -144,19 +164,7 @@ class CornerCrop:
     def __call__(self, img):
         w, h = img.size
         crop = min(w - 28, h - 28)
-        pos = self.crop_position
-        if pos == "c":
-            x1 = int(round((w - crop) / 2.0))
-            y1 = int(round((h - crop) / 2.0))
-        elif pos == "tl":
-            x1, y1 = 0, 0
-        elif pos == "tr":
-            x1, y1 = w - crop, 0
-        elif pos == "bl":
-            x1, y1 = 0, h - crop
-        else:  # br
-            x1, y1 = w - crop, h - crop
-        img = img.crop((x1, y1, x1 + crop, y1 + crop))
+        img = img.crop(_corner_box(self.crop_position, w, h, crop))
         return img.resize((int(self.size), int(self.size)), self.interpolation)
 
     def randomize_parameters(self, c_size=0, index=0):
@@ -218,18 +226,13 @@ class MultiScaleCornerCrop:
     def __call__(self, img):
         crop = int(min(img.size) * self.scale)
         w, h = img.size
-        pos = self.crop_position
-        if pos == "c":
+        if self.crop_position == "c":
+            # reference uses a floor-division centre box here rather than the
+            # rounded one (spatial_transforms.py:410-417)
             cx, cy, half = w // 2, h // 2, crop // 2
             box = (cx - half, cy - half, cx + half, cy + half)
-        elif pos == "tl":
-            box = (0, 0, crop, crop)
-        elif pos == "tr":
-            box = (w - crop, 0, w, crop)
-        elif pos == "bl":
-            box = (0, h - crop, crop, h)
         else:
-            box = (w - crop, h - crop, w, h)
+            box = _corner_box(self.crop_position, w, h, crop)
         return img.crop(box).resize((self.size, self.size), self.interpolation)
 
     def randomize_parameters(self, c_size=0, index=0):
