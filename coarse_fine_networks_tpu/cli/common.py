@@ -31,6 +31,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jit-level NaN checks")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation micro-steps per update "
+                        "(the reference's num_steps_per_update)")
     return p
 
 
@@ -43,6 +46,7 @@ def to_config(args, **overrides) -> DriverConfig:
         mesh_devices=args.mesh_devices, compute_dtype=args.dtype,
         remat=args.remat, resume=not args.no_resume,
         debug_nans=args.debug_nans, max_steps=args.max_steps,
+        num_steps_per_update=args.accum_steps,
     )
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size

@@ -35,9 +35,14 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put every array in the batch pytree, batch-dim sharded."""
-    sh = batch_sharding(mesh)
+def shard_batch(batch: Any, mesh: Mesh, leading_accum: bool = False) -> Any:
+    """device_put every array in the batch pytree, batch-dim sharded.
+
+    ``leading_accum=True`` shards axis 1 instead — for gradient-accumulation
+    batches stacked with a leading micro-step axis.
+    """
+    spec = P(None, DATA_AXIS) if leading_accum else P(DATA_AXIS)
+    sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 

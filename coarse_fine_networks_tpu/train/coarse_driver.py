@@ -21,12 +21,18 @@ from ..data import CharadesDataset, PrefetchLoader, collate_coarse
 from ..metrics import APMeter, LocalizeCSVWriter, subsample_25
 from ..models import CoarseNet
 from ..ops.resample import linear_resize
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
 from ..parallel.mesh import replicate
 from ..utils import get_logger
-from .common import load_pretrained, maybe_resume, model_batch, save_train_state
+from .common import (
+    iter_train_batches,
+    load_pretrained,
+    maybe_resume,
+    model_batch,
+    save_train_state,
+)
 from .config import DriverConfig
-from .fine_driver import build_transforms, _add_ap
+from .fine_driver import build_transforms, _add_ap_batches
 from .optim import MultiStepSchedule
 from .state import TrainState
 from .steps import bn_aggregated, make_eval_step, make_train_step
@@ -114,10 +120,11 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         mesh = make_mesh(cfg.mesh_devices)
         state = replicate(state, mesh)
 
+    fusion_mult = cfg.fusion_lr_mult or 10.0
     train_step = make_train_step(
         model, align_corners=cfg.align_corners, momentum=cfg.momentum,
-        weight_decay=cfg.weight_decay,
-        fusion_lr_mult=cfg.fusion_lr_mult or 10.0,
+        weight_decay=cfg.weight_decay, fusion_lr_mult=fusion_mult,
+        accum_steps=cfg.num_steps_per_update,
     )
     eval_step = make_eval_step(eval_model, align_corners=cfg.align_corners)
     key = jax.random.PRNGKey(cfg.seed)
@@ -133,23 +140,28 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         for phase in cfg.train_phases_per_val * ["train"] + ["val"]:
             if phase == "train":
                 epochs += 1
-                for batch in train_loader:
-                    if batch["clips"].shape[0] != cfg.batch_size:
-                        continue
-                    mb = model_batch(batch, train=True,
-                                     dtype=jnp.dtype(cfg.compute_dtype))
-                    if mesh is not None:
-                        mb = shard_batch(mb, mesh)
-                    lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
-                    state, metrics = train_step(state, mb, lr, key)
+                for mb, host_batches in iter_train_batches(train_loader, cfg,
+                                                           mesh):
+                    step_i = int(state.step)
+                    lr_val = sched.lr(step_i)
+                    # the reference's lr_warmup writes the same LR into every
+                    # param group, flattening the 10x fusion group inside the
+                    # warmup window (train_coarse_fineFEAT.py:137-141, 296-300)
+                    lr_f = (lr_val if sched.in_warmup(step_i)
+                            else lr_val * fusion_mult)
+                    state, metrics = train_step(
+                        state, mb, jnp.asarray(lr_val, jnp.float32), key,
+                        jnp.asarray(lr_f, jnp.float32))
                     tot["loss"] += float(metrics["loss"])
                     tot["n"] += 1
-                    _add_ap(tr_apm, np.asarray(metrics["probs"]),
-                            batch["labels"], batch["masks"])
+                    _add_ap_batches(tr_apm, np.asarray(metrics["probs"]),
+                                    host_batches)
                     step_i = int(state.step)
                     if step_i % s_times == 0:
-                        log.info("epoch %d step %d loss %.4f mAP %.4f",
-                                 epochs, step_i, tot["loss"] / max(tot["n"], 1),
+                        log.info("epoch %d step %d lr %.5f (fusion %.5f) "
+                                 "loss %.4f mAP %.4f",
+                                 epochs, step_i, lr_val, lr_f,
+                                 tot["loss"] / max(tot["n"], 1),
                                  tr_apm.mean())
                         results["train_map"] = tr_apm.mean()
                         tr_apm.reset()

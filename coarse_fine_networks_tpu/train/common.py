@@ -63,6 +63,63 @@ def model_batch(batch: Dict[str, Any], train: bool,
     return out
 
 
+def stack_microbatches(mbs):
+    """Stack per-micro-step model batches along a new leading axis for the
+    gradient-accumulation train step (the reference's ``num_steps_per_update``
+    loop feeds successive loader batches, ``train_fine.py:226-232``)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *mbs)
+
+
+def batch_shape_key(mb) -> tuple:
+    """Hashable shape signature of a model batch (stackability check)."""
+    return tuple(a.shape for a in jax.tree.leaves(mb))
+
+
+def iter_train_batches(loader, cfg: DriverConfig, mesh=None):
+    """Yield ``(device_batch, host_batches)`` for the train loop.
+
+    With ``cfg.num_steps_per_update > 1``, groups that many consecutive
+    loader batches into one stacked device batch (leading micro-step axis)
+    for the accumulating train step; ``host_batches`` carries the raw numpy
+    batches for metric accumulation.  Micro-batches must share padded shapes
+    to stack — a shape change (rare: only short-video feature padding varies)
+    flushes the partial group, mirroring the reference's behaviour of simply
+    never stepping on an incomplete accumulation window.
+    """
+    accum = max(cfg.num_steps_per_update, 1)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    pending_mb: list = []
+    pending_host: list = []
+    key_shape = None
+    for batch in loader:
+        if batch["clips"].shape[0] != cfg.batch_size:
+            continue
+        mb = model_batch(batch, train=True, dtype=dtype)
+        if accum == 1:
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                mb = shard_batch(mb, mesh)
+            yield mb, [batch]
+            continue
+        k = batch_shape_key(mb)
+        if pending_mb and k != key_shape:
+            log.warning("accum group flushed on shape change %s -> %s",
+                        key_shape, k)
+            pending_mb, pending_host = [], []
+        key_shape = k
+        pending_mb.append(mb)
+        pending_host.append(batch)
+        if len(pending_mb) == accum:
+            stacked = stack_microbatches(pending_mb)
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                stacked = shard_batch(stacked, mesh, leading_accum=True)
+            yield stacked, pending_host
+            pending_mb, pending_host = [], []
+
+
 def load_pretrained(variables: Dict, path: str, model_kind: str) -> Dict:
     """Partial-restore a checkpoint into freshly-initialised variables.
 

@@ -36,6 +36,7 @@ class DriverConfig:
     weight_decay: float = 1e-5
     momentum: float = 0.9
     train_phases_per_val: int = 4  # train_fine.py:147 (coarse: 2)
+    num_steps_per_update: int = 1  # gradient accumulation (train_fine.py:65)
     ckpt_every: int = 1000
     log_every_frac: int = 2        # print stats every 1/2 epoch
     kinetics_ckpt: Optional[str] = None  # torch .pt or native .ckpt

@@ -27,10 +27,16 @@ from ..data import (
 )
 from ..metrics import APMeter
 from ..models import FineNet
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
 from ..parallel.mesh import replicate
 from ..utils import get_logger
-from .common import load_pretrained, maybe_resume, model_batch, save_train_state
+from .common import (
+    iter_train_batches,
+    load_pretrained,
+    maybe_resume,
+    model_batch,
+    save_train_state,
+)
 from .config import DriverConfig
 from .optim import MultiStepSchedule
 from .state import TrainState
@@ -81,6 +87,17 @@ def _add_ap(apm: APMeter, probs: np.ndarray, labels: np.ndarray,
         apm.add(probs[b, : valid[b]], labels[b, : valid[b]])
 
 
+def _add_ap_batches(apm: APMeter, probs: np.ndarray, host_batches) -> None:
+    """Accumulate AP for one train step; with gradient accumulation ``probs``
+    carries a leading micro-step axis matching ``host_batches``."""
+    if len(host_batches) > 1:
+        for i, hb in enumerate(host_batches):
+            _add_ap(apm, probs[i], hb["labels"], hb["masks"])
+    else:
+        _add_ap(apm, probs, host_batches[0]["labels"],
+                host_batches[0]["masks"])
+
+
 def run(cfg: DriverConfig) -> Dict[str, float]:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -115,7 +132,8 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
 
     train_step = make_train_step(model, align_corners=cfg.align_corners,
                                  momentum=cfg.momentum,
-                                 weight_decay=cfg.weight_decay)
+                                 weight_decay=cfg.weight_decay,
+                                 accum_steps=cfg.num_steps_per_update)
     eval_step = make_eval_step(model, align_corners=cfg.align_corners)
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -130,26 +148,21 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         for phase in cfg.train_phases_per_val * ["train"] + ["val"]:
             if phase == "train":
                 epochs += 1
-                for batch in train_loader:
-                    if batch["clips"].shape[0] != cfg.batch_size:
-                        continue
-                    mb = model_batch(batch, train=True,
-                                     dtype=jnp.dtype(cfg.compute_dtype))
-                    if mesh is not None:
-                        mb = shard_batch(mb, mesh)
+                for mb, host_batches in iter_train_batches(train_loader, cfg,
+                                                           mesh):
                     lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
                     state, metrics = train_step(state, mb, lr, key)
                     tot["loss"] += float(metrics["loss"])
                     tot["cls"] += float(metrics["cls_loss"])
                     tot["loc"] += float(metrics["loc_loss"])
                     tot["n"] += 1
-                    _add_ap(tr_apm, np.asarray(metrics["probs"]),
-                            batch["labels"], batch["masks"])
+                    _add_ap_batches(tr_apm, np.asarray(metrics["probs"]),
+                                    host_batches)
                     step_i = int(state.step)
                     if step_i % s_times == 0:
                         log.info(
-                            "epoch %d step %d loss %.4f cls %.4f loc %.4f "
-                            "mAP %.4f", epochs, step_i,
+                            "epoch %d step %d lr %.5f loss %.4f cls %.4f "
+                            "loc %.4f mAP %.4f", epochs, step_i, float(lr),
                             tot["loss"] / max(tot["n"], 1),
                             tot["cls"] / max(tot["n"], 1),
                             tot["loc"] / max(tot["n"], 1), tr_apm.mean())

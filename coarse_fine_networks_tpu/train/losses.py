@@ -21,9 +21,22 @@ _LOG_CLAMP = -100.0
 
 def bce_loss(probs: jax.Array, targets: jax.Array) -> jax.Array:
     """Elementwise binary cross-entropy on probabilities (torch ``BCELoss``
-    semantics, including the -100 log clamp)."""
-    logp = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
-    log1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
+    semantics, including the -100 log clamp).
+
+    The clamp is applied with the double-``where`` pattern so the backward
+    pass is NaN-free at exactly-saturated probabilities: masked frames carry
+    ``p == 0`` (probs are pre-multiplied by the frame mask), and a plain
+    ``maximum(log(p), -100)`` sends ``0 * d log(0) = 0 * inf = NaN`` through
+    the VJP.  In the clamped region the gradient is 0 (torch instead clamps
+    the backward denominator by eps — same effect: training survives
+    saturation; the region is |log p| > 100, i.e. p < 4e-44).
+    """
+    tiny = jnp.exp(jnp.asarray(_LOG_CLAMP, probs.dtype))
+    in_lo = probs > tiny          # log(p) > -100
+    in_hi = probs < 1.0           # log1p(-p) > -100 (f32: 1-eps still < 1.0)
+    logp = jnp.where(in_lo, jnp.log(jnp.where(in_lo, probs, 1.0)), _LOG_CLAMP)
+    log1mp = jnp.where(
+        in_hi, jnp.log1p(-jnp.where(in_hi, probs, 0.0)), _LOG_CLAMP)
     return -(targets * logp + (1.0 - targets) * log1mp)
 
 

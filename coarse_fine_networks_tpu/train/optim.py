@@ -87,13 +87,21 @@ class MultiStepSchedule:
     def epoch_step(self) -> None:
         self.epoch += 1
 
+    def in_warmup(self, step: int) -> bool:
+        """The reference's ``lr_warmup`` window: ``start_after=1`` and
+        ``cur_steps < warmup_steps`` (``train_fine.py:258-261``)."""
+        return 1 < step < self.warmup_steps
+
     def lr(self, step: int) -> float:
+        # lr_warmup() writes ``lr_scale * init_lr`` to every param group,
+        # ignoring any MultiStepLR decay already applied
+        # (``train_fine.py:258-263``) — it scales *init_lr*, not the decayed
+        # LR.  (With the released configs warmup never spans a milestone, but
+        # the semantics matter if it does.)
+        if self.in_warmup(step):
+            return self.init_lr * min(1.0, float(step + 1) / self.warmup_steps)
         decays = sum(1 for m in self.milestones if self.epoch >= m)
-        lr = self.init_lr * (self.gamma ** decays)
-        # lr_warmup(): scale only while 1 < step < warmup_steps
-        if 1 < step < self.warmup_steps:
-            lr = lr * min(1.0, float(step + 1) / self.warmup_steps)
-        return lr
+        return self.init_lr * (self.gamma ** decays)
 
     def state_dict(self) -> Dict[str, Any]:
         return {"epoch": self.epoch}

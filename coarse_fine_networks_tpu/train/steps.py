@@ -57,6 +57,7 @@ def make_train_step(
     weight_decay: float = 1e-5,
     fusion_lr_mult: Optional[float] = None,
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -65,7 +66,19 @@ def make_train_step(
         (``train_fine.py:199``), ``False`` for the coarse driver
         (``train_coarse_fineFEAT.py:226``).
       fusion_lr_mult: if set, params whose path contains ``rw``/``mix`` train
-        at ``lr * mult`` (``train_coarse_fineFEAT.py:137-141``).
+        at ``lr * mult`` (``train_coarse_fineFEAT.py:137-141``).  The step
+        also accepts a traced ``lr_fusion`` scalar that overrides
+        ``lr * mult`` — the drivers use it to flatten the fusion group to the
+        plain warmup LR, exactly as the reference's ``lr_warmup`` writes the
+        same LR into *every* param group (``train_fine.py:258-263``).
+      accum_steps: gradient accumulation — the reference's
+        ``num_steps_per_update`` (``train_fine.py:65,226-232``).  When > 1 the
+        batch pytree must carry a leading ``accum_steps`` micro-batch axis;
+        one optimizer update is applied to the summed micro-grads of
+        ``loss_i / accum_steps`` (identical math to the reference's
+        ``loss.backward()`` per micro-batch + one ``optimizer.step()``), and
+        BN running stats chain through the micro-batches in order, like
+        ``num_steps_per_update`` sequential forwards do in torch.
     """
 
     scale_fn = (
@@ -74,20 +87,49 @@ def make_train_step(
     )
 
     def step(state: TrainState, batch: Dict[str, Any], lr: jax.Array,
-             rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+             rng: jax.Array, lr_fusion: Optional[jax.Array] = None,
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(
-            lambda p: _forward_and_loss(
-                model, p, state.batch_stats, batch, rng, True,
-                align_corners, ["batch_stats"],
-            ),
-            has_aux=True,
-        )
-        (total, (cls, loc, probs, new_stats)), grads = grad_fn(state.params)
+
+        def loss_fn(params, stats, mb, mrng):
+            return _forward_and_loss(model, params, stats, mb, mrng, True,
+                                     align_corners, ["batch_stats"])
+
+        if accum_steps == 1:
+            (total, (cls, loc, probs, new_stats)), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, state.batch_stats, batch, rng),
+                has_aux=True,
+            )(state.params)
+        else:
+            def micro(carry, xs):
+                stats, gacc, i = carry
+                mb = xs
+                mrng = jax.random.fold_in(rng, i)
+                (tot_i, (cls_i, loc_i, probs_i, stats_i)), g = (
+                    jax.value_and_grad(
+                        lambda p: loss_fn(p, stats, mb, mrng), has_aux=True,
+                    )(state.params)
+                )
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (stats_i, gacc, i + 1), (tot_i, cls_i, loc_i, probs_i)
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum, _), (tots, clss, locs, probs) = jax.lax.scan(
+                micro, (state.batch_stats, g0, 0), batch)
+            # grad of mean_i(loss_i / 1) / accum == the reference's
+            # sum_i grad(loss_i / num_steps_per_update)
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            total, cls, loc = tots.mean(), clss.mean(), locs.mean()
+
         lr_scales = _lr_scales(state.params, scale_fn)
+        if lr_fusion is None:
+            eff_lr = jax.tree.map(lambda s: lr * s, lr_scales)
+        else:
+            eff_lr = jax.tree.map(
+                lambda s: lr if s == 1.0 else lr_fusion, lr_scales)
         new_params, new_opt = sgd_update(
-            state.params, grads, state.opt, lr,
-            momentum=momentum, weight_decay=weight_decay, lr_scales=lr_scales,
+            state.params, grads, state.opt, jnp.float32(1.0),
+            momentum=momentum, weight_decay=weight_decay, lr_scales=eff_lr,
         )
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt=new_opt,

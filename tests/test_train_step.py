@@ -83,6 +83,22 @@ def test_detection_loss_matches_torch_bce():
     )
 
 
+def test_bce_grad_finite_at_saturation():
+    """Masked frames carry exactly-0 probs; the -100 log clamp must not NaN
+    the backward (double-where pattern in losses.bce_loss)."""
+    probs = jnp.asarray([0.0, 1.0, 0.5, 1e-45], jnp.float32)
+    targets = jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)
+    val, grad = jax.value_and_grad(
+        lambda p: jnp.sum(bce_loss(p, targets)))(probs)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    # forward still matches torch's clamped BCE
+    pt = torch.nn.BCELoss(reduction="sum")(
+        torch.tensor([0.0, 1.0, 0.5, 1e-45]),
+        torch.tensor([1.0, 0.0, 1.0, 0.0]))
+    np.testing.assert_allclose(float(val), float(pt), rtol=1e-5)
+
+
 def test_multistep_schedule():
     sched = MultiStepSchedule(0.01, milestones=[2, 4], warmup_steps=0)
     assert sched.lr(0) == pytest.approx(0.01)
@@ -93,6 +109,23 @@ def test_multistep_schedule():
     warm = MultiStepSchedule(0.01, milestones=[], warmup_steps=10)
     assert warm.lr(5) == pytest.approx(0.01 * 6 / 10)
     assert warm.lr(0) == pytest.approx(0.01)  # warmup starts after step 1
+
+
+def test_warmup_scales_init_lr_across_milestone():
+    """The reference's lr_warmup writes ``lr_scale * init_lr`` regardless of
+    MultiStepLR decays (train_fine.py:258-263): warmup spanning a milestone
+    must keep scaling init_lr, not the decayed LR."""
+    sched = MultiStepSchedule(0.01, milestones=[1], warmup_steps=100)
+    sched.epoch_step()  # decay fires while warmup is still running
+    assert sched.lr(50) == pytest.approx(0.01 * 51 / 100)  # NOT 0.001 * ...
+    assert sched.in_warmup(50)
+    # after the window, the decayed LR applies
+    assert not sched.in_warmup(100)
+    assert sched.lr(100) == pytest.approx(0.001)
+    # boundary semantics: warmup starts strictly after step 1
+    assert not sched.in_warmup(0)
+    assert not sched.in_warmup(1)
+    assert sched.in_warmup(2)
 
 
 def _tiny_batch(rng, b=4, t=8, h=56, tl=16, c=11):
@@ -133,6 +166,110 @@ def test_train_step_optimises_tiny_fine():
     out = ev(bn_aggregated(state), batch)
     assert np.isfinite(float(out["loss"]))
     assert out["probs"].shape == batch["labels"].shape
+
+
+class _TinyFusion(__import__("flax").linen.Module):
+    """Minimal module with a fusion-named ('rw') param and BN stats, to test
+    LR plumbing without the full CoarseNet."""
+
+    @__import__("flax").linen.compact
+    def __call__(self, x, train=True):
+        import flax.linen as nn
+        x = nn.Dense(8, name="rw_proj")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return nn.Dense(5, name="head")(x)
+
+
+def _tiny_fusion_setup(rng):
+    model = _TinyFusion()
+    batch = {
+        "clips": jnp.asarray(rng.randn(4, 6, 3), jnp.float32),
+        "labels": jnp.asarray((rng.rand(4, 6, 5) > 0.7), jnp.float32),
+        "masks": jnp.ones((4, 6), jnp.float32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["clips"], True)
+    return model, batch, TrainState.create(variables)
+
+
+def test_fusion_lr_traced_override():
+    """``lr_fusion`` overrides the static 10x multiplier — used to flatten
+    the fusion group during warmup exactly like the reference's lr_warmup
+    writes one LR into every param group (train_coarse_fineFEAT.py:296-300)."""
+    rng = np.random.RandomState(0)
+    model, batch, state = _tiny_fusion_setup(rng)
+    key = jax.random.PRNGKey(1)
+    step = make_train_step(model, fusion_lr_mult=10.0, donate=False)
+    lr = jnp.asarray(0.1, jnp.float32)
+
+    s_mult, _ = step(state, batch, lr, key)            # rw at 10x lr
+    s_flat, _ = step(state, batch, lr, key, lr)        # rw flattened to lr
+
+    p0 = np.asarray(state.params["rw_proj"]["kernel"])
+    d_mult = np.asarray(s_mult.params["rw_proj"]["kernel"]) - p0
+    d_flat = np.asarray(s_flat.params["rw_proj"]["kernel"]) - p0
+    np.testing.assert_allclose(d_mult, 10.0 * d_flat, rtol=1e-3, atol=1e-8)
+    # non-fusion params unaffected by the override
+    np.testing.assert_allclose(
+        np.asarray(s_mult.params["head"]["kernel"]),
+        np.asarray(s_flat.params["head"]["kernel"]), rtol=1e-7)
+
+
+def test_grad_accumulation_matches_manual_microbatches():
+    """accum_steps=2 over two stacked micro-batches == manually summing the
+    micro-grads of loss_i/accum with BN stats chained in order, then one SGD
+    update (the reference's num_steps_per_update loop,
+    train_fine.py:226-232)."""
+    from coarse_fine_networks_tpu.train.steps import _forward_and_loss
+    from coarse_fine_networks_tpu.train.optim import sgd_update as _sgd
+
+    rng = np.random.RandomState(1)
+    model, _, state = _tiny_fusion_setup(rng)
+    key = jax.random.PRNGKey(2)
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "clips": jnp.asarray(r.randn(2, 6, 3), jnp.float32),
+            "labels": jnp.asarray((r.rand(2, 6, 5) > 0.7), jnp.float32),
+            "masks": jnp.ones((2, 6), jnp.float32),
+        }
+
+    b0, b1 = mk_batch(10), mk_batch(11)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b0, b1)
+
+    astep = make_train_step(model, donate=False, accum_steps=2)
+    s_acc, m_acc = astep(state, stacked, jnp.asarray(0.05, jnp.float32), key)
+
+    # manual: micro-grads with chained BN stats, same rng folding
+    base = jax.random.fold_in(key, state.step)
+    def loss(p, stats, mb, i):
+        return _forward_and_loss(model, p, stats, mb,
+                                 jax.random.fold_in(base, i), True, True,
+                                 ["batch_stats"])
+    (t0, (_, _, _, st1)), g0 = jax.value_and_grad(
+        lambda p: loss(p, state.batch_stats, b0, 0), has_aux=True
+    )(state.params)
+    (t1, (_, _, _, st2)), g1 = jax.value_and_grad(
+        lambda p: loss(p, st1, b1, 1), has_aux=True
+    )(state.params)
+    grads = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    params, _ = _sgd(state.params, grads, state.opt,
+                     jnp.asarray(0.05, jnp.float32))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_acc.params, params)
+    # BN stats chained through both micro-batches
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_acc.batch_stats, st2)
+    np.testing.assert_allclose(
+        float(m_acc["loss"]), (float(t0) + float(t1)) / 2.0, rtol=1e-5)
+    assert int(s_acc.step) == 1  # one optimizer update, not two
+    assert m_acc["probs"].shape[0] == 2  # leading micro axis
 
 
 @pytest.mark.slow
