@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from coarse_fine_networks_tpu.utils.hw import compiled_costs, utilization
+
 BASELINE_CLIPS_PER_CHIP = 9.3 / 5  # reference clips/s per GPU
 
 B = int(os.environ.get("BENCH_BATCH", 8))
@@ -146,10 +148,15 @@ def main():
     lr = jnp.asarray(0.02)
 
     t0 = time.time()
+    lowered = step.lower(state, batch, lr, key)
+    compiled = lowered.compile()
+    costs = compiled_costs(compiled)
     state, metrics = step(state, batch, lr, key)
     jax.block_until_ready(metrics["loss"])
     log(f"compile+first step: {time.time() - t0:.1f}s  "
-        f"loss={float(metrics['loss']):.4f}")
+        f"loss={float(metrics['loss']):.4f}  "
+        f"program: {costs['flops'] / 1e12:.2f} TFLOP, "
+        f"{costs['bytes'] / 1e9:.2f} GB accessed")
 
     # warmup
     for _ in range(2):
@@ -162,13 +169,22 @@ def main():
     jax.block_until_ready(metrics["loss"])
     dt = (time.time() - t0) / STEPS
     clips_per_sec = B / dt
-    log(f"step time {dt * 1e3:.1f} ms  loss={float(metrics['loss']):.4f}")
+    util = utilization(costs["flops"], costs["bytes"], dt)
+    log(f"step time {dt * 1e3:.1f} ms  loss={float(metrics['loss']):.4f}  "
+        f"MFU {util['mfu'] * 100:.1f}%  HBM-BW {util['hbm_bw_util'] * 100:.1f}%"
+        f"  ({util['chip']})")
 
     print(json.dumps({
         "metric": "coarse_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip (fwd+bwd+update, B8 T64 224^2 bf16)",
         "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_CHIP, 2),
+        "step_ms": round(dt * 1e3, 1),
+        "mfu": round(util["mfu"], 4),
+        "hbm_bw_util": round(util["hbm_bw_util"], 4),
+        "program_tflop": round(costs["flops"] / 1e12, 3),
+        "program_gb": round(costs["bytes"] / 1e9, 2),
+        "chip": util["chip"],
     }))
 
 

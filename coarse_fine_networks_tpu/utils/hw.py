@@ -1,0 +1,75 @@
+"""TPU hardware peak specs + XLA cost-analysis helpers for utilization
+reporting (MFU / HBM-bandwidth fraction) in the bench harness.
+
+Peak numbers are the published per-chip specs (dense bf16 FLOP/s, HBM GB/s).
+Unknown device kinds fall back to v5e so the bench still runs, flagged in the
+returned name.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+
+
+class ChipPeaks(NamedTuple):
+    name: str
+    flops_bf16: float      # dense bf16 FLOP/s per chip
+    hbm_bw: float          # HBM bytes/s per chip
+    known: bool
+
+
+_PEAKS: Dict[str, ChipPeaks] = {
+    # device_kind substring -> peaks
+    "v5 lite": ChipPeaks("v5e", 197e12, 819e9, True),
+    "v5e": ChipPeaks("v5e", 197e12, 819e9, True),
+    "v5p": ChipPeaks("v5p", 459e12, 2765e9, True),
+    "v5": ChipPeaks("v5p", 459e12, 2765e9, True),
+    "v4": ChipPeaks("v4", 275e12, 1228e9, True),
+    "v6": ChipPeaks("v6e", 918e12, 1640e9, True),
+    "v3": ChipPeaks("v3", 123e12, 900e9, True),
+}
+
+
+def chip_peaks(device=None) -> ChipPeaks:
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peaks in _PEAKS.items():
+        if sub in kind:
+            return peaks
+    return ChipPeaks(f"unknown({kind})->v5e-assumed", 197e12, 819e9, False)
+
+
+def compiled_costs(compiled) -> Dict[str, float]:
+    """Extract {flops, bytes} from a jax Compiled object's cost analysis.
+
+    XLA's analysis counts the whole program (forward+backward+update for a
+    train step).  Returns zeros when the backend exposes no analysis.
+    """
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    if not isinstance(ca, dict):
+        return {"flops": 0.0, "bytes": 0.0}
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+def utilization(flops: float, bytes_moved: float, step_seconds: float,
+                device=None) -> Dict[str, float]:
+    """MFU and HBM-BW fraction for one executed program."""
+    peaks = chip_peaks(device)
+    if step_seconds <= 0:
+        return {"mfu": 0.0, "hbm_bw_util": 0.0, "chip": peaks.name}
+    return {
+        "mfu": flops / step_seconds / peaks.flops_bf16,
+        "hbm_bw_util": bytes_moved / step_seconds / peaks.hbm_bw,
+        "chip": peaks.name,
+    }
