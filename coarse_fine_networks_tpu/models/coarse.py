@@ -215,6 +215,8 @@ class CoarseNet(nn.Module):
     dw_impl: str = "lax"
     stem_s2d: bool = True
     fold_pw: bool = False
+    trunk_layout: str = "plain"  # "fold4": stem+layer1 in the row-folded
+    # lane-filling layout (ops/fold.py) — same params/math, 2-4x less HBM
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact
@@ -232,12 +234,24 @@ class CoarseNet(nn.Module):
         x = x.astype(self.compute_dtype)
         t_in = x.shape[1]
 
-        x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
-                    s2d=self.stem_s2d, name="stem")(x, train)
-        x = X3DStage(planes[0][0], planes[0][1], blocks[0], stride=2,
-                     bn_splits=self.bn_splits, remat=self.remat,
-                     dw_impl=self.dw_impl, fold_pw=self.fold_pw,
-                     name="layer1")(x, train)
+        if self.trunk_layout == "fold4":
+            from ..ops.fold import from_fold4
+            from .x3d_fold import FoldedStage, FoldedStem
+
+            x = FoldedStem(planes[0][1], self.bn_splits,
+                           dw_impl=self.dw_impl, name="stem")(x, train)
+            x = FoldedStage(planes[0][1], planes[0][0], planes[0][1],
+                            blocks[0], stride=2, bn_splits=self.bn_splits,
+                            remat=self.remat, dw_impl=self.dw_impl,
+                            name="layer1")(x, train)
+            x = from_fold4(x, planes[0][1])
+        else:
+            x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
+                        s2d=self.stem_s2d, name="stem")(x, train)
+            x = X3DStage(planes[0][0], planes[0][1], blocks[0], stride=2,
+                         bn_splits=self.bn_splits, remat=self.remat,
+                         dw_impl=self.dw_impl, fold_pw=self.fold_pw,
+                         name="layer1")(x, train)
 
         knots = None
         if self.t_pool == "avg":

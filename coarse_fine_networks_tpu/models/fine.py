@@ -47,6 +47,7 @@ class FineNet(nn.Module):
     dw_impl: str = "lax"
     stem_s2d: bool = True
     fold_pw: bool = False
+    trunk_layout: str = "plain"  # "fold4": stem+layer1 row-folded (ops/fold.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -54,17 +55,32 @@ class FineNet(nn.Module):
         blocks = get_blocks(self.version)
         x = x.astype(self.compute_dtype)
 
-        x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
-                    s2d=self.stem_s2d, name="stem")(x, train)
+        fold1 = self.trunk_layout == "fold4" and not self.t_downsample
+        if fold1:
+            from ..ops.fold import from_fold4
+            from .x3d_fold import FoldedStage, FoldedStem
+
+            x = FoldedStem(planes[0][1], self.bn_splits,
+                           dw_impl=self.dw_impl, name="stem")(x, train)
+        else:
+            x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
+                        s2d=self.stem_s2d, name="stem")(x, train)
 
         feat_g: Dict[str, jax.Array] = {}
         for i, ((mid, out), nblocks) in enumerate(zip(planes, blocks)):
-            x = X3DStage(
-                mid, out, nblocks, stride=2, t_downsample=self.t_downsample,
-                bn_splits=self.bn_splits, remat=self.remat,
-                dw_impl=self.dw_impl, fold_pw=self.fold_pw and i == 0,
-                name=f"layer{i + 1}",
-            )(x, train)
+            if fold1 and i == 0:
+                x = FoldedStage(planes[0][1], mid, out, nblocks, stride=2,
+                                bn_splits=self.bn_splits, remat=self.remat,
+                                dw_impl=self.dw_impl, name="layer1")(x, train)
+                x = from_fold4(x, out)
+            else:
+                x = X3DStage(
+                    mid, out, nblocks, stride=2,
+                    t_downsample=self.t_downsample,
+                    bn_splits=self.bn_splits, remat=self.remat,
+                    dw_impl=self.dw_impl, fold_pw=self.fold_pw and i == 0,
+                    name=f"layer{i + 1}",
+                )(x, train)
             if self.global_tower:
                 feat_g[f"layer{i + 1}"] = adaptive_avg_pool_spatial(x, TOWER_HW)
 

@@ -1,0 +1,236 @@
+"""Fold4-layout parity: the folded stem/stage must be numerically equivalent
+to the plain modules given the *same* parameters (checkpoint compatibility is
+the contract — fold is a layout, not a different model)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coarse_fine_networks_tpu.models.layers import SqueezeExcite, SubBatchNorm
+from coarse_fine_networks_tpu.models.x3d import Bottleneck, X3DStage, X3DStem
+from coarse_fine_networks_tpu.models.x3d_fold import (
+    FoldedBottleneck,
+    FoldedSqueezeExcite,
+    FoldedStage,
+    FoldedStem,
+    FoldedSubBatchNorm,
+    fold_downsample_pw,
+)
+from coarse_fine_networks_tpu.ops.fold import (
+    fold_matmul,
+    fold_pad,
+    fold_pointwise_kernel,
+    fold_input_clips,
+    from_fold4,
+    to_fold4,
+)
+
+
+def test_fold_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 3, 16, 12, 54), jnp.float32)
+    xf = to_fold4(x)
+    assert xf.shape == (2, 3, 4, 12, 4 * 64)
+    np.testing.assert_array_equal(np.asarray(from_fold4(xf, 54)),
+                                  np.asarray(x))
+    # pad lanes are zero
+    v = np.asarray(xf).reshape(2, 3, 4, 12, 4, 64)
+    assert np.all(v[..., 54:] == 0)
+
+
+def test_fold_pointwise_matches_plain():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 3, 8, 12, 24), jnp.float32)
+    w = jnp.asarray(rng.randn(1, 1, 1, 24, 54), jnp.float32)
+    ref = jnp.einsum("bthwc,co->bthwo", x, w[0, 0, 0])
+    got = from_fold4(fold_matmul(to_fold4(x), fold_pointwise_kernel(w, 24, 54)),
+                     54)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fold_downsample_matches_strided_conv():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 3, 16, 12, 24), jnp.float32)
+    w = jnp.asarray(rng.randn(1, 1, 1, 24, 24), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 2, 2), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = from_fold4(fold_downsample_pw(to_fold4(x), w, 24, 24), 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("splits", [1, 2])
+def test_folded_subbn_matches_plain(splits):
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 3, 8, 6, 54), jnp.float32)
+    plain = SubBatchNorm(54, splits)
+    fold = FoldedSubBatchNorm(54, splits)
+    vp = plain.init({"params": jax.random.PRNGKey(0)}, x, True)
+    # same param tree
+    assert jax.tree_util.tree_structure(vp) == jax.tree_util.tree_structure(
+        fold.init({"params": jax.random.PRNGKey(0)}, to_fold4(x), True))
+    vp = jax.tree.map(
+        lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        / a.size, vp)
+
+    ref, upd_p = plain.apply(vp, x, True, mutable=["batch_stats"])
+    got_f, upd_f = fold.apply(vp, to_fold4(x), True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(from_fold4(got_f, 54)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        upd_p["batch_stats"], upd_f["batch_stats"])
+
+    ref_e = plain.apply(vp, x, False)
+    got_e = fold.apply(vp, to_fold4(x), False)
+    np.testing.assert_allclose(np.asarray(from_fold4(got_e, 54)),
+                               np.asarray(ref_e), rtol=2e-5, atol=2e-5)
+
+
+def test_folded_se_matches_plain():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 3, 8, 6, 54), jnp.float32)
+    plain = SqueezeExcite(54)
+    fold = FoldedSqueezeExcite(54)
+    vp = plain.init({"params": jax.random.PRNGKey(1)}, x)
+    vf = fold.init({"params": jax.random.PRNGKey(1)}, to_fold4(x))
+    assert (jax.tree_util.tree_structure(vp)
+            == jax.tree_util.tree_structure(vf))
+    ref = plain.apply(vp, x)
+    got = fold.apply(vp, to_fold4(x))
+    np.testing.assert_allclose(np.asarray(from_fold4(got, 54)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("stride,use_se,ds", [(1, True, False),
+                                              (2, True, True),
+                                              (1, False, False)])
+def test_folded_bottleneck_matches_plain(stride, use_se, ds):
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 4, 16, 16, 24), jnp.float32)
+    plain = Bottleneck(mid_planes=54, out_planes=24, stride=stride,
+                       use_se=use_se, has_downsample=ds, bn_splits=1)
+    fold = FoldedBottleneck(in_planes=24, mid_planes=54, out_planes=24,
+                            stride=stride, use_se=use_se, has_downsample=ds,
+                            bn_splits=1)
+    vp = plain.init({"params": jax.random.PRNGKey(2)}, x, True)
+    vf = fold.init({"params": jax.random.PRNGKey(2)}, to_fold4(x), True)
+    assert (jax.tree_util.tree_structure(vp)
+            == jax.tree_util.tree_structure(vf)), (
+        jax.tree_util.tree_structure(vp), jax.tree_util.tree_structure(vf))
+
+    ref, up = plain.apply(vp, x, True, mutable=["batch_stats"])
+    got, uf = fold.apply(vp, to_fold4(x), True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(from_fold4(got, 24)),
+                               np.asarray(ref), rtol=5e-5, atol=5e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5),
+        up["batch_stats"], uf["batch_stats"])
+
+
+def test_folded_stage_matches_plain():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 4, 16, 16, 24), jnp.float32)
+    plain = X3DStage(mid_planes=54, out_planes=24, num_blocks=3, stride=2)
+    fold = FoldedStage(in_planes=24, mid_planes=54, out_planes=24,
+                       num_blocks=3, stride=2)
+    vp = plain.init({"params": jax.random.PRNGKey(3)}, x, True)
+    ref = plain.apply(vp, x, False)
+    got = fold.apply(vp, to_fold4(x), False)
+    np.testing.assert_allclose(np.asarray(from_fold4(got, 24)),
+                               np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_folded_stem_matches_plain():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 8, 32, 32, 3), jnp.float32)
+    plain = X3DStem(planes=24, s2d=True)
+    fold = FoldedStem(planes=24)
+    vp = plain.init({"params": jax.random.PRNGKey(4)}, x, True)
+    vf = fold.init({"params": jax.random.PRNGKey(4)}, x, True)
+    assert (jax.tree_util.tree_structure(vp)
+            == jax.tree_util.tree_structure(vf))
+    ref = plain.apply(vp, x, False)
+    got = fold.apply(vp, x, False)
+    np.testing.assert_allclose(np.asarray(from_fold4(got, 24)),
+                               np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_fold_input_clips_shape():
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 2, 16, 16, 3), jnp.float32)
+    xp = fold_input_clips(x)
+    assert xp.shape == (1, 2, 4, 4, 128)
+    v = np.asarray(xp).reshape(1, 2, 4, 4, 4, 4, 8)
+    np.testing.assert_array_equal(v[0, 1, 1, 2, 3, 1, :3],
+                                  np.asarray(x)[0, 1, 4 * 1 + 3, 4 * 2 + 1])
+    assert np.all(v[..., 3:] == 0)
+
+
+def test_coarse_net_fold4_matches_plain():
+    """Full CoarseNet with trunk_layout='fold4' equals the plain model on the
+    same variables (init with plain, apply with fold)."""
+    from coarse_fine_networks_tpu.models import CoarseNet
+
+    rng = np.random.RandomState(10)
+    b, t, h, tf = 1, 8, 32, 8
+    kw = dict(version="M", n_classes=11, task="loc", t_pool="grid",
+              learned_mixing=True, is_mixing=True)
+    plain = CoarseNet(**kw)
+    fold = CoarseNet(**kw, trunk_layout="fold4")
+    x = jnp.asarray(rng.rand(b, t, h, h, 3), jnp.float32)
+    feats = {k: jnp.asarray(rng.rand(b, tf, 7, 7, c), jnp.float32)
+             for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
+                          ("layer4", 192), ("conv5", 432)]}
+    fm = jnp.ones((b, tf), jnp.float32)
+    meta = jnp.asarray([[0, t, 2 * t, 1]], jnp.int32)
+    v = plain.init({"params": jax.random.PRNGKey(6)}, x, feats, fm, meta,
+                   False)
+    vf = fold.init({"params": jax.random.PRNGKey(6)}, x, feats, fm, meta,
+                   False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vf))
+    ref = plain.apply(v, x, feats, fm, meta, False)
+    got = fold.apply(v, x, feats, fm, meta, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_fine_net_fold4_matches_plain():
+    from coarse_fine_networks_tpu.models import FineNet
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(1, 8, 32, 32, 3), jnp.float32)
+    plain = FineNet(version="M", n_classes=11, task="loc")
+    fold = FineNet(version="M", n_classes=11, task="loc",
+                   trunk_layout="fold4")
+    v = plain.init({"params": jax.random.PRNGKey(7)}, x, False)
+    ref = plain.apply(v, x, False)
+    got = fold.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_folded_bottleneck_gradients_flow():
+    """Gradients reach every canonical parameter through the fold
+    rearrangements (each weight appears 4x in the folded kernel)."""
+    rng = np.random.RandomState(9)
+    x = to_fold4(jnp.asarray(rng.rand(2, 4, 8, 8, 24), jnp.float32))
+    fold = FoldedBottleneck(in_planes=24, mid_planes=54, out_planes=24,
+                            stride=1, use_se=True, has_downsample=False)
+    v = fold.init({"params": jax.random.PRNGKey(5)}, x, True)
+
+    def loss(p):
+        out, _ = fold.apply({"params": p, "batch_stats": v["batch_stats"]},
+                            x, True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_flatten_with_path(g)[0]
+    for path, leaf in leaves:
+        assert np.isfinite(np.asarray(leaf)).all(), path
+        assert float(jnp.abs(leaf).max()) > 0, path
