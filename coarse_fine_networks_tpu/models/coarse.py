@@ -238,11 +238,12 @@ class CoarseNet(nn.Module):
             from ..ops.fold import from_fold4
             from .x3d_fold import FoldedStage, FoldedStem
 
+            fold_dw = "auto" if self.dw_impl == "lax" else self.dw_impl
             x = FoldedStem(planes[0][1], self.bn_splits,
-                           dw_impl=self.dw_impl, name="stem")(x, train)
+                           dw_impl=fold_dw, name="stem")(x, train)
             x = FoldedStage(planes[0][1], planes[0][0], planes[0][1],
                             blocks[0], stride=2, bn_splits=self.bn_splits,
-                            remat=self.remat, dw_impl=self.dw_impl,
+                            remat=self.remat, dw_impl=fold_dw,
                             name="layer1")(x, train)
             x = from_fold4(x, planes[0][1])
         else:

@@ -60,8 +60,9 @@ class FineNet(nn.Module):
             from ..ops.fold import from_fold4
             from .x3d_fold import FoldedStage, FoldedStem
 
+            fold_dw = "auto" if self.dw_impl == "lax" else self.dw_impl
             x = FoldedStem(planes[0][1], self.bn_splits,
-                           dw_impl=self.dw_impl, name="stem")(x, train)
+                           dw_impl=fold_dw, name="stem")(x, train)
         else:
             x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
                         s2d=self.stem_s2d, name="stem")(x, train)
@@ -71,7 +72,7 @@ class FineNet(nn.Module):
             if fold1 and i == 0:
                 x = FoldedStage(planes[0][1], mid, out, nblocks, stride=2,
                                 bn_splits=self.bn_splits, remat=self.remat,
-                                dw_impl=self.dw_impl, name="layer1")(x, train)
+                                dw_impl=fold_dw, name="layer1")(x, train)
                 x = from_fold4(x, out)
             else:
                 x = X3DStage(

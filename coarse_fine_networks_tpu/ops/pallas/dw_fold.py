@@ -1,0 +1,481 @@
+"""Pallas depthwise 3x3x3 stencil on fold4-layout tensors.
+
+This is the kernel that makes the fold4 trunk win end-to-end (see
+``ops/fold.py``): the bottleneck's depthwise conv (``x3d_fine.py:89-97``)
+consumes and produces the row-folded layout directly, so the stream never
+relayouts to the 2.4x-padded channels-minor form around the conv.
+
+Layout recap: ``x[b,t,Y,w, py*P+c] = plain[b,t,4Y+py,w,c]`` — 4 row-phases
+in the lane dimension, ``P = fold_pad(C)``.  In this layout the stencil's
+three directions map onto cheap hardware moves:
+
+* W taps   → static sublane-dim slices of a W-haloed VMEM tile;
+* T/H taps → static slices of a T/H-haloed tile (grid over T and H-blocks);
+* the H-phase shift inside a block → a **lane rotation by ±P** plus a
+  per-lane-group select against the H±1 block rows for the wrapping phase.
+
+Each grid step loads one haloed tile HBM→VMEM with 9 predicated DMAs (body +
+4 edge strips + 4 corners; global edges stay zero = SAME padding), then runs
+the 27-tap multiply-accumulate entirely in VMEM with an f32 accumulator.
+The input is read from HBM once per tile (plus halo overlap) instead of once
+per tap, and — the point — at fold4's ~1.2x lane padding instead of the
+plain layout's 2.4x.
+
+Backward is a custom VJP: ``dx`` is the same stencil with flipped taps
+(SAME padding, k=3); ``dw`` is a second kernel accumulating 27 per-lane
+partial reductions across grid steps, phase-summed to the canonical
+``(3,3,3,1,C)`` gradient outside.
+
+Stride (1,2,2) (layer1.block0) is the stride-1 kernel followed by an exact
+fold-space 2x2 subsample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fold import FOLD, fold_pad, from_fold4, refold_y2_to_y4, to_fold4
+
+F32 = jnp.float32
+
+
+def _lane_roll(z: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    """Rotate the lane (last) dim by ``shift`` (any sign).  Mosaic only
+    implements 32-bit rotates on this toolchain; bf16 goes through a u32
+    bitcast, which (verified on-chip) packs pairs of *sublanes* — the lane
+    count is unchanged, so the shift is used as-is and the second-minor dim
+    just has to be even."""
+    n = z.shape[-1]
+    shift = shift % n
+    if shift == 0:
+        return z
+    if interpret or z.dtype.itemsize == 4:
+        return pltpu.roll(z, shift=shift, axis=z.ndim - 1)
+    assert z.dtype == jnp.bfloat16 and z.shape[-2] % 2 == 0
+    zu = pltpu.bitcast(z, jnp.uint32)
+    zu = pltpu.roll(zu, shift=shift, axis=zu.ndim - 1)
+    return pltpu.bitcast(zu, jnp.bfloat16)
+
+
+def _strip(h: int) -> int:
+    """Largest divisor of h that is <= 7 (per-strip f32 accumulator size)."""
+    for s in (7, 6, 5, 4, 8, 3, 2, 1):
+        if s <= max(h, 1) and h % s == 0:
+            return s
+    return 1
+
+
+def _pick_tiles(t: int, hb: int, w: int, lanes: int,
+                itemsize: int) -> Tuple[int, int]:
+    """(T-tile, H-tile) keeping tiles + accumulator + double-buffered output
+    inside VMEM, preferring low halo overhead."""
+    budget = 12 * 1024 * 1024
+    best = (1, min(hb, 14))
+    best_cost = None
+    h_opts = [h for h in (hb, 14, 7) if h <= hb and hb % h == 0] or [hb]
+    for ht in h_opts:
+        for tt in (8, 4, 2, 1):
+            if t % tt:
+                continue
+            sh = _strip(ht)
+            in_tile = (tt + 2) * (ht + 2) * (w + 16) * lanes * itemsize
+            acc = tt * sh * w * lanes * 4
+            r = (tt + 2) * sh * (w + 16) * lanes * itemsize
+            out2 = 2 * tt * ht * w * lanes * itemsize
+            if in_tile + acc + r + out2 >= budget:
+                continue
+            halo = ((tt + 2) * (ht + 2)) / (tt * ht)
+            if best_cost is None or halo < best_cost:
+                best, best_cost = (tt, ht), halo
+    return best
+
+
+def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
+    """Zero the tile then fill body + T/H halo strips + corners from HBM.
+    Global edges keep the zeros (SAME conv padding)."""
+    t0 = ti * tt
+    h0 = hi * ht
+    in_tile[...] = jnp.zeros(in_tile.shape, in_tile.dtype)
+
+    def cp(src, dst):
+        d = pltpu.make_async_copy(src, dst, sem)
+        d.start()
+        d.wait()
+
+    cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0, ht), :, :],
+       in_tile.at[pl.ds(1, tt), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(ti > 0)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0, ht), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(ti < n_t - 1)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0, ht), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(hi > 0)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(1, tt), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(hi < n_h - 1)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(1, tt), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti > 0, hi > 0))
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti > 0, hi < n_h - 1))
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti < n_t - 1, hi > 0))
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti < n_t - 1, hi < n_h - 1))
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+
+def _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
+    """Yield (tap_index, (tt, sh, w, lanes) slab) for the 27 taps of one
+    output strip starting at tile row h."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lanes), 3)
+    mask_up = lane < p          # dy=+1: wrapped phase comes from block Y+1
+    mask_dn = lane >= 3 * p     # dy=-1: wrapped phase from block Y-1
+    for dy in (-1, 0, 1):
+        a_same = in_tile[:, pl.ds(1 + h, sh), :, :]
+        if dy == 0:
+            r = a_same
+        else:
+            a_sh = in_tile[:, pl.ds(1 + h + dy, sh), :, :]
+            mask = mask_up if dy == 1 else mask_dn
+            z = jnp.where(mask, a_sh, a_same)
+            r = _lane_roll(z, -dy * p, interpret)
+        for dx in range(3):
+            # column j of the output reads slab column 8 + j + (dx-1);
+            # misaligned sublane value-slices lower fine (verified on-chip)
+            body = r[:, :, 7 + dx:7 + dx + w, :]
+            for dt in range(3):
+                tap = (dt * 3 + (dy + 1)) * 3 + dx
+                yield tap, body[dt:dt + tt]
+
+
+def _s2_epilogue(acc, p, lanes, o_dtype, interpret):
+    """Fuse the (1,2,2) subsample into the output write: ``acc`` holds one
+    full-resolution block-row *pair* (tt, 2, W, L); the stride-2 output block
+    row keeps even W columns (extracted via the bf16→u32 sublane-pair bitcast
+    — f32 has no packing, so compiled f32 uses the full-res path instead) and
+    regroups phases {0,2} of the pair into the four output phases."""
+    if interpret:
+        eb = acc.astype(o_dtype)[:, :, 0::2, :]
+    else:
+        ab = acc.astype(jnp.bfloat16)
+        u = pltpu.bitcast(ab, jnp.uint32)              # (tt,2?,W/2,L) pairs W
+        eb = pltpu.bitcast((u & jnp.uint32(0xFFFF)) << 16, jnp.float32)
+        eb = eb.astype(jnp.bfloat16)
+    r0, r1 = eb[:, 0], eb[:, 1]                        # (tt, W/2, L)
+    a1 = _lane_roll(r0, -p, interpret)                 # g1 ← r0 phase 2
+    a2 = _lane_roll(r1, 2 * p, interpret)              # g2 ← r1 phase 0
+    a3 = _lane_roll(r1, p, interpret)                  # g3 ← r1 phase 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
+    out = jnp.where(lane < p, r0,
+                    jnp.where(lane < 2 * p, a1,
+                              jnp.where(lane < 3 * p, a2, a3)))
+    return out.astype(o_dtype)
+
+
+def _fwd_kernel(w_ref, x_hbm, o_ref, in_tile, sem, *, tt, ht, w, lanes, p,
+                n_t, n_h, interpret, stride2=False):
+    b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+
+    if stride2:
+        for s in range(ht // 2):
+            h = 2 * s
+            acc = jnp.zeros((tt, 2, w, lanes), F32)
+            for tap, slab in _taps(in_tile, h, 2, p, lanes, tt, w, interpret):
+                acc += slab.astype(F32) * w_ref[tap, :][None, None, None, :]
+            o_ref[0, :, s, :, :] = _s2_epilogue(acc, p, lanes, o_ref.dtype,
+                                                interpret)
+        return
+
+    sh = _strip(ht)
+    for s in range(ht // sh):
+        h = s * sh
+        acc = jnp.zeros((tt, sh, w, lanes), F32)
+        for tap, slab in _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
+            acc += slab.astype(F32) * w_ref[tap, :][None, None, None, :]
+        o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
+
+
+def _wgrad_kernel(x_hbm, g_hbm, o_ref, in_tile, g_tile, sem, *, tt, ht, w,
+                  lanes, p, n_t, n_h, interpret):
+    b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    is_first = jnp.logical_and(
+        b == 0, jnp.logical_and(ti == 0, hi == 0))
+
+    @pl.when(is_first)
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+
+    def cpg():
+        d = pltpu.make_async_copy(
+            g_hbm.at[b, pl.ds(ti * tt, tt), pl.ds(hi * ht, ht), :, :],
+            g_tile, sem)
+        d.start()
+        d.wait()
+
+    cpg()
+
+    sh = _strip(ht)
+    for s in range(ht // sh):
+        h = s * sh
+        gs = g_tile[:, pl.ds(h, sh), :, :].astype(F32)
+        for tap, slab in _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
+            o_ref[tap, :] += jnp.sum(slab.astype(F32) * gs, axis=(0, 1, 2))
+
+
+def _prep_lane_weights(w: jax.Array, c: int, p: int) -> jax.Array:
+    """(3,3,3,1,C) → (27, 4P) per-lane tap vectors (phase-tiled, zero pad)."""
+    wt = w.reshape(27, c).astype(F32)
+    wt = jnp.pad(wt, ((0, 0), (0, p - c)))
+    return jnp.tile(wt, (1, FOLD))
+
+
+def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
+                  ) -> jax.Array:
+    b, t, hb, w, lanes = x.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
+    n_t, n_h = t // tt, hb // ht
+
+    kernel = functools.partial(
+        _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
+        interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, lanes) weights
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, tt, ht, w, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, x)
+
+
+def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool
+                        ) -> jax.Array:
+    b, t, hb, w, lanes = x.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
+    n_t, n_h = t // tt, hb // ht
+
+    kernel = functools.partial(
+        _wgrad_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
+        interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((27, lanes), lambda bi, ti, hi: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.VMEM((tt, ht, w, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dw_fold4(x: jax.Array, w: jax.Array, c: int, interpret: bool = False
+             ) -> jax.Array:
+    """Depthwise 3x3x3, stride 1, SAME padding, on a fold4 tensor.
+
+    Args:
+      x: (B, T, H/4, W, 4P) fold4 tensor (``ops.fold``).
+      w: canonical depthwise kernel (3, 3, 3, 1, C).
+      c: logical channel count (C <= P).
+    """
+    p = x.shape[-1] // FOLD
+    return _dw_fold4_raw(x, _prep_lane_weights(w, c, p), interpret)
+
+
+def _dw_fold4_fwd(x, w, c, interpret):
+    return dw_fold4(x, w, c, interpret), (x, w)
+
+
+def _dw_fold4_bwd(c, interpret, res, g):
+    x, w = res
+    p = x.shape[-1] // FOLD
+    w_flip = jnp.flip(w, axis=(0, 1, 2))
+    dx = _dw_fold4_raw(g, _prep_lane_weights(w_flip, c, p), interpret)
+    dk_lane = _dw_fold4_wgrad_raw(x, g, interpret)        # (27, 4P)
+    dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]  # phase-sum
+    dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+    return dx, dk
+
+
+dw_fold4.defvjp(_dw_fold4_fwd, _dw_fold4_bwd)
+
+
+def _dw_fold4_s2_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
+                     ) -> jax.Array:
+    b, t, hb, w, lanes = x.shape
+    p = lanes // FOLD
+    tt, _ = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
+    # H-tile must pair full-res block rows; prefer the largest even divisor
+    ht = next(h for h in (14, 12, 10, 8, 6, 4, 2, hb)
+              if hb % h == 0 and h % 2 == 0)
+    n_t, n_h = t // tt, hb // ht
+
+    kernel = functools.partial(
+        _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
+        interpret=interpret, stride2=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tt, ht // 2, w // 2, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, hb // 2, w // 2, lanes),
+                                       x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, x)
+
+
+def _zero_upsample_fold(g: jax.Array) -> jax.Array:
+    """Inverse placement of the stride-2 subsample, in fold space: output
+    rows 2y' / cols 2x' get ``g``, the rest zeros (the subsample's VJP)."""
+    b, t, hb, w2, l = g.shape
+    p = l // FOLD
+    gv = g.reshape(b, t, hb, w2, FOLD, p)
+    z = jnp.zeros_like(gv[..., :1, :])
+    blk0 = jnp.concatenate([gv[..., 0:1, :], z, gv[..., 1:2, :], z], axis=-2)
+    blk1 = jnp.concatenate([gv[..., 2:3, :], z, gv[..., 3:4, :], z], axis=-2)
+    gy = jnp.stack([blk0, blk1], axis=3)           # (b,t,hb,2,w2,4,p)
+    gy = gy.reshape(b, t, 2 * hb, w2, FOLD * p)
+    gw = jnp.stack([gy, jnp.zeros_like(gy)], axis=4)
+    return gw.reshape(b, t, 2 * hb, 2 * w2, FOLD * p)
+
+
+def _stride2_via_full(x, w, c, interpret):
+    """Fallback: full-resolution stride-1 stencil + XLA fold-space subsample
+    (used for compiled f32, which has no sublane-pair bitcast)."""
+    y = dw_fold4(x, w, c, interpret)
+    b, t, hb, wd, l = y.shape
+    p = l // FOLD
+    yv = y.reshape(b, t, hb, wd // 2, 2, FOLD, p)[:, :, :, :, 0, ::2, :]
+    yv = jnp.moveaxis(yv, 4, 3)          # (b,t,hb,2,W/2,P)
+    return refold_y2_to_y4(yv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dw_fold4_stride2(x: jax.Array, w: jax.Array, c: int,
+                     interpret: bool = False) -> jax.Array:
+    """Depthwise 3x3x3 with stride (1,2,2) on fold4 (layer-N block0,
+    ``x3d_fine.py:93,104``): the stride-1 stencil with the 2x2 subsample
+    fused into the output write (see :func:`_s2_epilogue`)."""
+    if x.dtype == jnp.bfloat16 or interpret:
+        p = x.shape[-1] // FOLD
+        return _dw_fold4_s2_raw(x, _prep_lane_weights(w, c, p), interpret)
+    return _stride2_via_full(x, w, c, interpret)
+
+
+def _dw_s2_fwd(x, w, c, interpret):
+    return dw_fold4_stride2(x, w, c, interpret), (x, w)
+
+
+def _dw_s2_bwd(c, interpret, res, g):
+    """y = subsample(dw_s1(x)) ⇒ dL/dx = dw_s1(upsample0(g), flipped taps)
+    and dk = wgrad_s1(x, upsample0(g)) — reuses the stride-1 kernels."""
+    x, w = res
+    p = x.shape[-1] // FOLD
+    g_full = _zero_upsample_fold(g).astype(x.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1, 2))
+    dx = _dw_fold4_raw(g_full, _prep_lane_weights(w_flip, c, p), interpret)
+    dk_lane = _dw_fold4_wgrad_raw(x, g_full, interpret)
+    dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
+    dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+    return dx, dk
+
+
+dw_fold4_stride2.defvjp(_dw_s2_fwd, _dw_s2_bwd)
+
+
+def fold_dw_conv3d(x: jax.Array, w: jax.Array, c: int,
+                   stride: int = 1, impl: str = "auto") -> jax.Array:
+    """Dispatcher for the fold4 depthwise conv.
+
+    impl: 'pallas' (TPU kernel), 'interpret' (kernel under the Pallas
+    interpreter — CPU testing), 'sandwich' (unfold → XLA conv → refold), or
+    'auto' (pallas on TPU, sandwich elsewhere).
+    """
+    if impl == "auto":
+        impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
+    if impl == "mixed":
+        # stride-1 convs: the Pallas stencil wins in-model; the stride-2
+        # block0 conv currently measures better through the XLA sandwich
+        # (its Pallas backward runs two full-resolution passes)
+        impl = "pallas" if stride == 1 else "sandwich"
+    if impl in ("pallas", "interpret"):
+        interpret = impl == "interpret"
+        if stride == 1:
+            return dw_fold4(x, w, c, interpret)
+        assert stride == 2, stride
+        return dw_fold4_stride2(x, w, c, interpret)
+    # sandwich fallback (exact; slower — keeps CPU/odd shapes working).
+    # impl="lax": in-model XLA fuses its conv with the relayouts best
+    # (round-1 finding; the round-1 Pallas stencil also VMEM-OOMs here).
+    from .dw_conv import depthwise_conv3d
+
+    y = from_fold4(x, c)
+    y = depthwise_conv3d(y, w.astype(y.dtype), (1, stride, stride),
+                         impl="lax")
+    return to_fold4(y, fold_pad(c))

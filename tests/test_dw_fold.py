@@ -1,0 +1,96 @@
+"""Fold4-space Pallas depthwise kernel: correctness vs the XLA conv oracle
+(interpret mode on CPU; the same kernel compiles on TPU), including the
+custom VJP and the stride-2 wrapper."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from coarse_fine_networks_tpu.ops.fold import from_fold4, to_fold4
+from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+    dw_fold4,
+    dw_fold4_stride2,
+    fold_dw_conv3d,
+)
+
+C = 54
+
+
+def _dwref(x, k, s=(1, 1, 1)):
+    return lax.conv_general_dilated(
+        x, k, s, [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=x.shape[-1],
+        precision=lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 16, 12), (1, 8, 28, 20),
+                                   (2, 6, 8, 8), (1, 4, 16, 56)])
+def test_dw_fold4_fwd_matches_conv(shape):
+    rng = np.random.RandomState(0)
+    b, t, h, w = shape
+    x = jnp.asarray(rng.randn(b, t, h, w, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    ref = _dwref(x, k)
+    got = from_fold4(dw_fold4(to_fold4(x), k, C, True), C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_dw_fold4_stride2_matches_conv():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 4, 16, 12, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    ref = _dwref(x, k, (1, 2, 2))
+    got = from_fold4(dw_fold4_stride2(to_fold4(x), k, C, True), C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_dw_fold4_grads_match_conv(stride):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    g_seed = jnp.asarray(rng.randn(27), jnp.float32)  # stable loss weights
+
+    def loss_pallas(x, k):
+        y = fold_dw_conv3d(to_fold4(x), k, C, stride=stride, impl="interpret")
+        return jnp.sum(from_fold4(y, C) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(_dwref(x, k, (1, stride, stride)) ** 2)
+
+    gx_p, gk_p = jax.grad(loss_pallas, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r), rtol=1e-4,
+                               atol=2e-4)
+
+
+def test_dw_fold4_bf16():
+    """bf16 path (lane rolls via u32 bitcast) stays close to the f32 oracle."""
+    rng = np.random.RandomState(3)
+    x32 = rng.randn(1, 4, 8, 12, C).astype(np.float32)
+    k32 = rng.randn(3, 3, 3, 1, C).astype(np.float32)
+    ref = np.asarray(_dwref(jnp.asarray(x32), jnp.asarray(k32)))
+    got = from_fold4(
+        dw_fold4(to_fold4(jnp.asarray(x32, jnp.bfloat16)),
+                 jnp.asarray(k32), C, True), C).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0.1, atol=0.15)
+
+
+def test_sandwich_matches_interpret():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    xf = to_fold4(x)
+    a = fold_dw_conv3d(xf, k, C, stride=1, impl="sandwich")
+    b = fold_dw_conv3d(xf, k, C, stride=1, impl="interpret")
+    np.testing.assert_allclose(np.asarray(from_fold4(a, C)),
+                               np.asarray(from_fold4(b, C)),
+                               rtol=1e-4, atol=1e-4)

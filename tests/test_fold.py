@@ -108,7 +108,8 @@ def test_folded_se_matches_plain():
 
 @pytest.mark.parametrize("stride,use_se,ds", [(1, True, False),
                                               (2, True, True),
-                                              (1, False, False)])
+                                              (1, False, False),
+                                              (1, True, True)])
 def test_folded_bottleneck_matches_plain(stride, use_se, ds):
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.rand(2, 4, 16, 16, 24), jnp.float32)
