@@ -1,0 +1,68 @@
+"""Joint Coarse-Fine inference pipeline: one jitted program.
+
+The reference runs three scripts with an on-disk feature cache between them
+(``extract_fineFEAT.py:168-173`` writes ``FINE_SAVE_DIR/<key>/<vid>``, which
+``charades_coarse_fineFEAT.py:77-89`` reads back).  For serving that boundary
+is pure overhead: here the fine global tower, the fusion graph and the coarse
+stream compose into a single jitted forward — the 7x7 feature bank never
+leaves HBM.  Measured 26.7 videos/s/chip vs the reference's ~0.37
+videos/s/GPU whole-video eval (PERF.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resample import linear_resize
+from .coarse import CoarseNet
+from .fine import FineNet
+
+
+class CoarseFinePipeline(nn.Module):
+    """Fine tower (``global_tower=True``) feeding the Coarse stream in one
+    program.
+
+    Inputs:
+      clips:      ``(B, T, H, W, 3)`` coarse-stream clip (strided frames).
+      fine_clips: ``(B, T_f, H, W, 3)`` fine-stream frames (denser stride).
+      meta:       ``(B, 4)`` ``[start_f, frames, nf, stride]/gamma_tau`` as in
+                  ``charades_coarse_fineFEAT.py:199-200``.
+      label_len:  output temporal length (per-frame logits are linearly
+                  resized, ``train_coarse_fineFEAT.py:226``).
+
+    Returns per-frame class probabilities ``(B, label_len, n_classes)``.
+    """
+
+    n_classes: int = 157
+    version: str = "M"
+    crops: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+    dw_impl: str = "lax"
+    trunk_layout: str = "plain"
+
+    @nn.compact
+    def __call__(self, clips: jax.Array, fine_clips: jax.Array,
+                 meta: jax.Array, label_len: int | None = None) -> jax.Array:
+        if label_len is None:
+            label_len = 4 * clips.shape[1]
+        feats = FineNet(
+            version=self.version, n_classes=self.n_classes, task="loc",
+            global_tower=True, compute_dtype=self.compute_dtype,
+            dw_impl=self.dw_impl, trunk_layout=self.trunk_layout,
+            name="fine",
+        )(fine_clips, train=False)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        feat_mask = jnp.ones(fine_clips.shape[:2], jnp.float32)
+
+        logits = CoarseNet(
+            version=self.version, n_classes=self.n_classes, task="loc",
+            t_pool="grid", learned_mixing=True, is_mixing=True,
+            crops=self.crops, compute_dtype=self.compute_dtype,
+            dw_impl=self.dw_impl, trunk_layout=self.trunk_layout,
+            name="coarse",
+        )(clips, feats, feat_mask, meta, False)
+
+        logits = linear_resize(logits, label_len, align_corners=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))

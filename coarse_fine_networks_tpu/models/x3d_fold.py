@@ -1,0 +1,271 @@
+"""Fold4-layout X3D stem and stage (see ``ops/fold.py`` for the layout).
+
+These modules are *exact relayouts* of the plain modules in ``models/x3d.py``
+(the reference ops at ``x3d_fine.py:89-224``): they consume the **same
+canonical parameters** (identical pytree names/shapes, so checkpoints and the
+torch converter are untouched) but compute in the row-folded ``(B, T, H/4, W,
+4P)`` layout where C=24/54 fills the 128-lane registers instead of paying the
+2.4-5.3x channels-minor padding tax.  Depthwise 3x3x3 convs dispatch to the
+fold-space Pallas stencil (``ops/pallas/dw_fold.py``) on TPU and to an exact
+unfold->XLA->refold sandwich elsewhere.
+
+Numerical parity with the plain modules is tested in ``tests/test_fold.py``
+(same variables applied through both paths).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.fold import (
+    FOLD,
+    fold_matmul,
+    fold_pad,
+    fold_pointwise_kernel,
+    pad_vec,
+    refold_y2_to_y4,
+    to_fold4,
+)
+from ..ops.pallas.dw_fold import fold_dw_conv3d
+from .layers import kaiming_normal, round_width, swish
+from .x3d import _Conv1sParam, _Conv1x1Param
+
+
+class _KernelParam(nn.Module):
+    """Canonical kernel parameter holder (same subtree as the plain module
+    that owns the kernel: a single ``kernel`` param)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal, self.shape, jnp.float32)
+
+
+def fold_downsample_pw(x: jax.Array, w: jax.Array, c_in: int,
+                       c_out: int) -> jax.Array:
+    """Pointwise 1x1x1 conv with stride (1,2,2) in fold space (the residual
+    downsample of ``x3d_fine.py:144-149``): subsample even rows (phases
+    {0,2} of each block, block pairs regrouped) and even columns, then the
+    block-diagonal fold matmul."""
+    p = x.shape[-1] // FOLD
+    b, t, hb, wd, _ = x.shape
+    xv = x.reshape(b, t, hb, wd // 2, 2, FOLD, p)[:, :, :, :, 0, ::2, :]
+    xv = jnp.moveaxis(xv, 4, 3)                     # (b, t, hb, 2, w/2, p)
+    xs = refold_y2_to_y4(xv)                        # (b, t, hb/2, w/2, 4p)
+    wf = fold_pointwise_kernel(w, c_in, c_out, p_in=p)
+    return fold_matmul(xs, wf)
+
+
+class FoldedSubBatchNorm(nn.Module):
+    """SubBatchNorm on a fold4 tensor — same parameters and running-stat
+    semantics as :class:`..models.layers.SubBatchNorm`; statistics are taken
+    over the real channels only (pad lanes stay exactly zero: the affine
+    scale/bias vectors are zero-filled in the pad lanes)."""
+
+    features: int
+    num_splits: int = 1
+    eps: float = 1e-5
+    momentum: float = 0.1
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        s, c = self.num_splits, self.features
+        dtype = jnp.float32
+        p = x.shape[-1] // FOLD
+
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), dtype))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), dtype))
+        sp_mean = self.variable("batch_stats", "split_mean",
+                                lambda: jnp.zeros((s * c,), dtype))
+        sp_var = self.variable("batch_stats", "split_var",
+                               lambda: jnp.ones((s * c,), dtype))
+
+        orig_dtype = x.dtype
+        xf = x.astype(dtype)
+
+        if train:
+            n = xf.shape[0]
+            if n % s != 0:
+                raise ValueError(f"batch {n} not divisible by num_splits {s}")
+            xg = xf.reshape((n // s, s) + xf.shape[1:])
+            # per-split, per-lane moments over (group, t, Hb, w) ...
+            m_l = jnp.mean(xg, axis=(0, 2, 3, 4))               # (s, 4P)
+            m2_l = jnp.mean(jnp.square(xg), axis=(0, 2, 3, 4))  # (s, 4P)
+            # ... phase-averaged to per-channel (every lane holds the same
+            # number of real rows, so this equals the plain reduction)
+            mean = m_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
+            mean2 = m2_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
+            var = mean2 - jnp.square(mean)
+            mean_lane = jax.vmap(lambda v: pad_vec(v, c, p, 0.0))(mean)
+            var_lane = jax.vmap(lambda v: pad_vec(v, c, p, 1.0))(var)
+            shape = (1, s, 1, 1, 1, FOLD * p)
+            xn = (xg - mean_lane.reshape(shape)) * jax.lax.rsqrt(
+                var_lane.reshape(shape) + self.eps)
+            xn = xn.reshape(xf.shape)
+            if not self.is_initializing():
+                count = (n // s) * xf.shape[1] * xf.shape[2] * xf.shape[3] * FOLD
+                unbiased = var * (count / max(count - 1, 1))
+                m = self.momentum
+                sp_mean.value = (1 - m) * sp_mean.value + m * mean.reshape(-1)
+                sp_var.value = (1 - m) * sp_var.value + m * unbiased.reshape(-1)
+        else:
+            xn = (xf - pad_vec(ra_mean.value, c, p, 0.0)) * jax.lax.rsqrt(
+                pad_vec(ra_var.value, c, p, 1.0) + self.eps)
+
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (c,), dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), dtype)
+            xn = xn * pad_vec(scale, c, p, 0.0) + pad_vec(bias, c, p, 0.0)
+        return xn.astype(orig_dtype)
+
+
+class FoldedSqueezeExcite(nn.Module):
+    """SE block on a fold4 tensor — same fc1/fc2 parameters as the plain
+    :class:`..models.layers.SqueezeExcite` (x3d_fine.py:123-128)."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.planes
+        p = x.shape[-1] // FOLD
+        width = round_width(c)
+        m = jnp.mean(x, axis=(1, 2, 3))                        # (B, 4P)
+        m = m.reshape(-1, FOLD, p).mean(axis=1)[:, :c]         # (B, C)
+        s = m[:, None, None, None, :].astype(x.dtype)
+        s = nn.Conv(width, (1, 1, 1), use_bias=True, name="fc1",
+                    kernel_init=kaiming_normal, dtype=x.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1, 1), use_bias=True, name="fc2",
+                    kernel_init=kaiming_normal, dtype=x.dtype)(s)
+        g = jax.nn.sigmoid(s)[:, 0, 0, 0, :]                   # (B, C)
+        g_lane = jax.vmap(lambda v: pad_vec(v, c, p, 0.0))(g)  # (B, 4P)
+        return x * g_lane[:, None, None, None, :]
+
+
+class FoldedBottleneck(nn.Module):
+    """X3D bottleneck in fold space (parameters identical to
+    :class:`..models.x3d.Bottleneck`): block-diagonal fold matmuls for the
+    pointwise convs, the fold-space stencil for the depthwise 3x3x3."""
+
+    in_planes: int
+    mid_planes: int
+    out_planes: int
+    stride: int = 1
+    use_se: bool = False
+    has_downsample: bool = False
+    bn_splits: int = 1
+    dw_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        c_in, c_mid, c_out = self.in_planes, self.mid_planes, self.out_planes
+        p_in = x.shape[-1] // FOLD
+        residual = x
+
+        w1 = _Conv1x1Param(c_in, c_mid, name="conv1")()
+        out = fold_matmul(x, fold_pointwise_kernel(
+            w1, c_in, c_mid, p_in=p_in).astype(x.dtype))
+        out = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn1")(out, train)
+        out = nn.relu(out)
+
+        w2 = _KernelParam((3, 3, 3, 1, c_mid), name="conv2")()
+        out = fold_dw_conv3d(out, w2.astype(out.dtype), c_mid,
+                             stride=self.stride, impl=self.dw_impl)
+        out = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn2")(out, train)
+
+        if self.use_se:
+            out = FoldedSqueezeExcite(c_mid, name="se")(out)
+        out = swish(out)
+
+        w3 = _Conv1x1Param(c_mid, c_out, name="conv3")()
+        out = fold_matmul(out, fold_pointwise_kernel(
+            w3, c_mid, c_out, p_in=fold_pad(c_mid)).astype(out.dtype))
+        out = FoldedSubBatchNorm(c_out, self.bn_splits, name="bn3")(out, train)
+
+        if self.has_downsample:
+            wd = _Conv1x1Param(c_in, c_out, name="downsample_conv")()
+            if self.stride == 1:
+                residual = fold_matmul(x, fold_pointwise_kernel(
+                    wd, c_in, c_out, p_in=p_in).astype(x.dtype))
+            else:
+                residual = fold_downsample_pw(x, wd.astype(x.dtype), c_in,
+                                              c_out)
+            residual = FoldedSubBatchNorm(
+                c_out, self.bn_splits, name="downsample_bn")(residual, train)
+
+        return nn.relu(out + residual)
+
+
+class FoldedStage(nn.Module):
+    """Residual stage in fold space (same parameters as
+    :class:`..models.x3d.X3DStage` / ``_make_layer``, x3d_fine.py:277-306)."""
+
+    in_planes: int
+    mid_planes: int
+    out_planes: int
+    num_blocks: int
+    stride: int = 2
+    bn_splits: int = 1
+    remat: bool = False
+    dw_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        block_cls = FoldedBottleneck
+        if self.remat:
+            block_cls = nn.remat(FoldedBottleneck, static_argnums=(2,))
+        for i in range(self.num_blocks):
+            x = block_cls(
+                in_planes=self.in_planes if i == 0 else self.out_planes,
+                mid_planes=self.mid_planes,
+                out_planes=self.out_planes,
+                stride=self.stride if i == 0 else 1,
+                use_se=(i % 2 == 0),
+                has_downsample=(i == 0),
+                bn_splits=self.bn_splits,
+                dw_impl=self.dw_impl,
+                name=f"block{i}",
+            )(x, train)
+        return x
+
+
+class FoldedStem(nn.Module):
+    """Stem in fold space (same parameters as :class:`..models.x3d.X3DStem`
+    with ``s2d=True``): the space-to-depth conv1_s produces the plain layout,
+    which is folded once; conv1_t (depthwise 5x1x1) and bn1 then run in fold
+    space (temporal taps are lane-aligned, so conv1_t is a plain lane-tiled
+    depthwise conv)."""
+
+    planes: int
+    bn_splits: int = 1
+    dw_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from .x3d import _s2d_conv1_s
+
+        c_in = x.shape[-1]
+        x = _s2d_conv1_s(x, self, c_in)             # (B, T, H/2, W/2, planes)
+        c = self.planes
+        p = fold_pad(c)
+        x = to_fold4(x, p)
+
+        wt = _KernelParam((5, 1, 1, 1, c), name="conv1_t")()
+        wl = jnp.pad(wt.reshape(5, c), ((0, 0), (0, p - c)))
+        wl = jnp.tile(wl, (1, FOLD)).reshape(5, 1, 1, 1, FOLD * p)
+        x = jax.lax.conv_general_dilated(
+            x, wl.astype(x.dtype), (1, 1, 1), [(2, 2), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=FOLD * p)
+
+        x = FoldedSubBatchNorm(c, self.bn_splits, name="bn1")(x, train)
+        return nn.relu(x)

@@ -8,6 +8,18 @@ which also upgrades SubBatchNorm to *global* cross-replica statistics
 (strictly better than per-GPU stats under DataParallel).
 """
 
-from .mesh import make_mesh, batch_sharding, replicate_sharding, shard_batch
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    process_shard,
+    replicate_sharding,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "process_shard",
+    "replicate_sharding",
+    "shard_batch",
+]

@@ -36,14 +36,37 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, leading_accum: bool = False) -> Any:
-    """device_put every array in the batch pytree, batch-dim sharded.
+    """Build the globally batch-sharded arrays for one step.
+
+    Single-process: ``batch`` is the full global batch; ``device_put`` splits
+    it over the local devices.  Multi-process (``jax.process_count() > 1``):
+    ``batch`` is this host's *local shard* (``global_batch /
+    process_count`` rows, in process order — see
+    :class:`..data.loader.PrefetchLoader` ``shard=``), and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — no host ever
+    materialises the full batch.
 
     ``leading_accum=True`` shards axis 1 instead — for gradient-accumulation
     batches stacked with a leading micro-step axis.
     """
     spec = P(None, DATA_AXIS) if leading_accum else P(DATA_AXIS)
     sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.asarray(a)), batch)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def process_shard(rank: Optional[int] = None,
+                  world: Optional[int] = None) -> tuple[int, int]:
+    """(rank, world) of this process for dataset/batch sharding — identity
+    ``(0, 1)`` in single-process runs."""
+    if rank is None:
+        rank = jax.process_index()
+    if world is None:
+        world = jax.process_count()
+    return rank, world
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
