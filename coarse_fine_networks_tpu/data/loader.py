@@ -28,7 +28,17 @@ class PrefetchLoader:
         prefetch: int = 4,
         drop_last: bool = False,
         seed: int = 0,
+        shard: "tuple[int, int] | None" = None,
     ):
+        """``shard=(rank, world)`` makes this loader produce the per-host
+        slice of each *global* batch for multi-process data parallelism: all
+        hosts draw the same seeded global index order (epoch-keyed), form
+        global batches of ``batch_size``, and host ``rank`` keeps rows
+        ``[rank*bs_local, (rank+1)*bs_local)`` of every batch — matching the
+        process order :func:`..parallel.mesh.shard_batch` assembles with
+        ``jax.make_array_from_process_local_data``.  ``batch_size`` remains
+        the global batch; it must divide by ``world``, and ragged final
+        batches are dropped (they cannot be split evenly across hosts)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -38,10 +48,19 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        self.shard = shard
+        if shard is not None:
+            rank, world = shard
+            if not (0 <= rank < world):
+                raise ValueError(f"bad shard {shard}")
+            if batch_size % world != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process count {world}")
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.shard is not None:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -53,8 +72,12 @@ class PrefetchLoader:
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)
         ]
-        if self.drop_last:
+        if self.drop_last or self.shard is not None:
             out = [b for b in out if len(b) == self.batch_size]
+        if self.shard is not None:
+            rank, world = self.shard
+            bs_local = self.batch_size // world
+            out = [b[rank * bs_local : (rank + 1) * bs_local] for b in out]
         return out
 
     def __iter__(self) -> Iterator:

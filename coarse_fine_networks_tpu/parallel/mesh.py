@@ -58,6 +58,28 @@ def shard_batch(batch: Any, mesh: Mesh, leading_accum: bool = False) -> Any:
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 
+def host_local_rows(arr: Any, axis: int = 0) -> np.ndarray:
+    """This host's rows of a batch-sharded global array, as numpy.
+
+    Single-process: the whole array.  Multi-process: the contiguous slice of
+    ``axis`` this process contributed (host-side metrics like the AP meter
+    consume per-host rows paired with the host-local labels).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    seen = []
+    parts = []
+    for s in shards:
+        start = s.index[axis].start or 0
+        if start in seen:
+            continue  # replicated over other mesh axes
+        seen.append(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=axis)
+
+
 def process_shard(rank: Optional[int] = None,
                   world: Optional[int] = None) -> tuple[int, int]:
     """(rank, world) of this process for dataset/batch sharding — identity

@@ -22,7 +22,7 @@ from ..metrics import APMeter, LocalizeCSVWriter, subsample_25
 from ..models import CoarseNet
 from ..ops.resample import linear_resize
 from ..parallel import make_mesh
-from ..parallel.mesh import replicate
+from ..parallel.mesh import host_local_rows, replicate
 from ..utils import get_logger
 from .common import (
     iter_train_batches,
@@ -52,10 +52,13 @@ def build_coarse_loaders(cfg: DriverConfig):
     collate = lambda b: collate_coarse(b,  # noqa: E731
                                        pad_t_multiple=cfg.pad_t_multiple,
                                        pad_label_multiple=cfg.pad_label_multiple)
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
                                   shuffle=True, num_workers=cfg.num_workers,
                                   prefetch=cfg.prefetch, drop_last=True,
-                                  seed=cfg.seed)
+                                  seed=cfg.seed, shard=shard)
     val_loader = PrefetchLoader(val_ds, cfg.val_batch_size or 1, collate,
                                 shuffle=False, num_workers=cfg.num_workers,
                                 prefetch=cfg.prefetch)
@@ -154,8 +157,12 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         jnp.asarray(lr_f, jnp.float32))
                     tot["loss"] += float(metrics["loss"])
                     tot["n"] += 1
-                    _add_ap_batches(tr_apm, np.asarray(metrics["probs"]),
-                                    host_batches)
+                    _add_ap_batches(
+                        tr_apm,
+                        host_local_rows(
+                            metrics["probs"],
+                            axis=1 if len(host_batches) > 1 else 0),
+                        host_batches)
                     step_i = int(state.step)
                     if step_i % s_times == 0:
                         log.info("epoch %d step %d lr %.5f (fusion %.5f) "

@@ -88,11 +88,13 @@ def iter_train_batches(loader, cfg: DriverConfig, mesh=None):
     """
     accum = max(cfg.num_steps_per_update, 1)
     dtype = jnp.dtype(cfg.compute_dtype)
+    # multi-process: the loader yields this host's shard of the global batch
+    local_bs = cfg.batch_size // jax.process_count()
     pending_mb: list = []
     pending_host: list = []
     key_shape = None
     for batch in loader:
-        if batch["clips"].shape[0] != cfg.batch_size:
+        if batch["clips"].shape[0] != local_bs:
             continue
         mb = model_batch(batch, train=True, dtype=dtype)
         if accum == 1:

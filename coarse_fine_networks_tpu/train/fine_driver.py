@@ -28,7 +28,7 @@ from ..data import (
 from ..metrics import APMeter
 from ..models import FineNet
 from ..parallel import make_mesh
-from ..parallel.mesh import replicate
+from ..parallel.mesh import host_local_rows, replicate
 from ..utils import get_logger
 from .common import (
     iter_train_batches,
@@ -69,10 +69,15 @@ def build_fine_loaders(cfg: DriverConfig):
     vbs = cfg.val_batch_size or max(cfg.batch_size // 2, 1)
     collate = lambda b: collate_clips(b, cfg.pad_t_multiple,  # noqa: E731
                                       cfg.pad_label_multiple)
+    # Multi-process: each host loads only its slice of every global batch
+    # (assembled on device by shard_batch / make_array_from_process_local_data).
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
                                   shuffle=True, num_workers=cfg.num_workers,
                                   prefetch=cfg.prefetch, drop_last=True,
-                                  seed=cfg.seed)
+                                  seed=cfg.seed, shard=shard)
     val_loader = PrefetchLoader(val_ds, vbs, collate, shuffle=False,
                                 num_workers=cfg.num_workers,
                                 prefetch=cfg.prefetch)
@@ -156,8 +161,12 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                     tot["cls"] += float(metrics["cls_loss"])
                     tot["loc"] += float(metrics["loc_loss"])
                     tot["n"] += 1
-                    _add_ap_batches(tr_apm, np.asarray(metrics["probs"]),
-                                    host_batches)
+                    _add_ap_batches(
+                        tr_apm,
+                        host_local_rows(
+                            metrics["probs"],
+                            axis=1 if len(host_batches) > 1 else 0),
+                        host_batches)
                     step_i = int(state.step)
                     if step_i % s_times == 0:
                         log.info(
