@@ -105,24 +105,36 @@ class CharadesDataset:
         self.feature_keys = tuple(feature_keys)
         self.crop_size = crop_size  # passed to randomize_parameters (the
         # multigrid dynamic crop size; charades_fine.py:171 hardcodes 224)
-        # native C++ decode+CenterCropScaled fast path: only valid when the
-        # transform pipeline is exactly a centre-crop-scale (val/extract);
-        # 'auto' enables it when the library is built.
-        from .transforms import CenterCropScaled, Compose
+        # native C++ fast paths: decode+CenterCropScaled when the pipeline is
+        # exactly a centre-crop-scale (val/extract), and decode+random-crop
+        # for the train pipeline (MultiScaleRandomCropMultigrid + deferred
+        # HFlip — the crop runs in C++, the flip on device).  'auto' enables
+        # them when the library is built.
+        from .transforms import (
+            CenterCropScaled,
+            Compose,
+            MultiScaleRandomCropMultigrid,
+            RandomHorizontalFlip,
+        )
 
-        is_ccs = (
-            isinstance(spatial_transform, Compose)
-            and len(spatial_transform.transforms) == 1
-            and isinstance(spatial_transform.transforms[0], CenterCropScaled)
+        use_native = decode_backend in ("auto", "native") and native.available()
+        ts = (spatial_transform.transforms
+              if isinstance(spatial_transform, Compose) else [])
+        is_ccs = len(ts) == 1 and isinstance(ts[0], CenterCropScaled)
+        self.native_crop = ts[0].size[0] if is_ccs and use_native else None
+        is_train_t = (
+            len(ts) == 2
+            and isinstance(ts[0], MultiScaleRandomCropMultigrid)
+            and isinstance(ts[1], RandomHorizontalFlip)
+            and ts[1].deferred
         )
-        self.native_crop = (
-            spatial_transform.transforms[0].size[0]
-            if is_ccs and decode_backend in ("auto", "native")
-            and native.available() else None
-        )
-        if decode_backend == "native" and self.native_crop is None:
-            raise ValueError("native decode requires a CenterCropScaled-only "
-                             "transform and a built native library")
+        self.native_train = ts[0] if is_train_t and use_native else None
+        if decode_backend == "native" and self.native_crop is None \
+                and self.native_train is None:
+            raise ValueError(
+                "native decode requires a CenterCropScaled-only or "
+                "MultiScaleRandomCropMultigrid+deferred-flip transform and a "
+                "built native library")
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -157,22 +169,37 @@ class CharadesDataset:
         if self.split == "testing" and self.task == "loc":
             stride_f = stride_f // self.crops
 
-        if self.native_crop is not None:
+        use_native = (self.native_crop is not None
+                      or (self.native_train is not None
+                          and self.split != "testing"))
+        flip = False
+        if use_native:
             paths = []
             for i in range(start_f, start_f + frames, stride_f):
                 p = os.path.join(self.root, vid, f"{vid}-{i:06d}.jpg")
                 if not os.path.exists(p):
                     break  # stop at first gap (charades_fine.py:54-55)
                 paths.append(p)
-            arr = native.decode_batch(paths, self.native_crop)
+            if self.native_train is not None and self.split != "testing":
+                # same per-clip randomisation protocol (and RNG consumption)
+                # as the Python path (charades_fine.py:170-173); the crop
+                # itself runs in the C++ pool, the flip on device.
+                self.spatial_transform.randomize_parameters(self.crop_size)
+                mt = self.native_train
+                for t in self.spatial_transform.transforms:
+                    if isinstance(t, RandomHorizontalFlip) and t.deferred:
+                        flip = t.flipped
+                arr = native.decode_batch_random_crop(
+                    paths, mt.size, mt.scale, mt.tl_x, mt.tl_y)
+            else:
+                arr = native.decode_batch(paths, self.native_crop)
         else:
             imgs = load_clip_frames(self.root, vid, start_f, frames, stride_f)
         label = label[start_f - 1 : start_f - 1 + frames]
         if self.task == "class":
             label = label.max(axis=0)
 
-        flip = False
-        if self.native_crop is None:
+        if not use_native:
             if self.spatial_transform is not None:
                 self.spatial_transform.randomize_parameters(self.crop_size)
                 for t in getattr(self.spatial_transform, "transforms",

@@ -47,6 +47,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    lib.cfn_decode_batch_rc.restype = ctypes.c_int
+    lib.cfn_decode_batch_rc.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.cfn_decode_packed_rc.restype = ctypes.c_int
+    lib.cfn_decode_packed_rc.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     lib.cfn_pack_video.restype = ctypes.c_int
     lib.cfn_pack_video.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
@@ -84,6 +98,52 @@ def decode_batch(paths: Sequence[str], out_size: int,
     if fails:
         bad = [paths[i] for i in np.nonzero(status)[0][:3]]
         raise IOError(f"{fails} frames failed to decode, e.g. {bad}")
+    return out
+
+
+def decode_batch_random_crop(paths: Sequence[str], out_size: int,
+                             scale: float, tl_x: float, tl_y: float,
+                             num_threads: int = 4) -> np.ndarray:
+    """Train-path decode: per-clip random scale+position crop
+    (MultiScaleRandomCropMultigrid semantics, ``spatial_transforms.py:
+    480-509``) resized to ``(out, out)`` — one call per clip, crop params
+    randomised by the caller so the reference's once-per-clip protocol and
+    seeding are preserved."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fails = lib.cfn_decode_batch_rc(
+        arr, n, out_size, scale, tl_x, tl_y,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads,
+    )
+    if fails:
+        bad = [paths[i] for i in np.nonzero(status)[0][:3]]
+        raise IOError(f"{fails} frames failed to decode, e.g. {bad}")
+    return out
+
+
+def decode_packed_random_crop(pack_path: str, indices: Sequence[int],
+                              out_size: int, scale: float, tl_x: float,
+                              tl_y: float, num_threads: int = 4) -> np.ndarray:
+    """Packed-container variant of :func:`decode_batch_random_crop`."""
+    lib = _load()
+    assert lib is not None
+    idx = np.asarray(indices, np.int32)
+    out = np.empty((len(idx), out_size, out_size, 3), np.uint8)
+    status = np.zeros(len(idx), np.int32)
+    rc = lib.cfn_decode_packed_rc(
+        pack_path.encode(),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(idx), out_size,
+        scale, tl_x, tl_y,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode_packed_rc failed rc={rc}")
     return out
 
 

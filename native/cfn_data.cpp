@@ -105,6 +105,41 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
   }
 }
 
+// Crop a box out of a decoded frame then bilinear-resize it to (out, out)
+// without materialising the crop: the resize samples the source through the
+// box offset.
+void crop_resize(const uint8_t* src, int sw, int x1, int y1, int cw, int ch,
+                 uint8_t* dst, int out) {
+  const float sx = static_cast<float>(cw) / out;
+  const float sy = static_cast<float>(ch) / out;
+  for (int y = 0; y < out; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    int yb = y0 + 1 < ch ? y0 + 1 : ch - 1;
+    float wy = fy - y0;
+    const uint8_t* row0 = src + ((static_cast<size_t>(y1) + y0) * sw + x1) * 3;
+    const uint8_t* row1 = src + ((static_cast<size_t>(y1) + yb) * sw + x1) * 3;
+    for (int x = 0; x < out; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = static_cast<int>(fx);
+      int xb = x0 + 1 < cw ? x0 + 1 : cw - 1;
+      float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = row0[x0 * 3 + c];
+        float v01 = row0[xb * 3 + c];
+        float v10 = row1[x0 * 3 + c];
+        float v11 = row1[xb * 3 + c];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[(static_cast<size_t>(y) * out + x) * 3 + c] =
+            static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
 // Centre-crop to min side then resize to (out, out) — CenterCropScaled
 // (spatial_transforms.py:201-233).
 void center_crop_scale(const uint8_t* src, int sw, int sh, uint8_t* dst,
@@ -128,6 +163,11 @@ struct DecodeTask {
   uint8_t* out;         // destination (out_size*out_size*3)
   int out_size;
   int* status;
+  // crop mode: 0 = centre-crop-scaled; 1 = random scale+position crop
+  // (MultiScaleRandomCropMultigrid, spatial_transforms.py:480-509):
+  // crop = int(min(w,h)*scale), x1 = int(tl_x*(w-crop)), y1 = int(tl_y*(h-crop))
+  int crop_mode = 0;
+  double scale = 1.0, tl_x = 0.0, tl_y = 0.0;
 };
 
 struct Pool {
@@ -167,7 +207,15 @@ void run_task(const DecodeTask& t) {
     *t.status = -1;
     return;
   }
-  if (t.out_size > 0) {
+  if (t.out_size > 0 && t.crop_mode == 1) {
+    int m = w < h ? w : h;
+    int crop = static_cast<int>(m * t.scale);
+    if (crop < 1) crop = 1;
+    if (crop > m) crop = m;
+    int x1 = static_cast<int>(t.tl_x * (w - crop));
+    int y1 = static_cast<int>(t.tl_y * (h - crop));
+    crop_resize(rgb.data(), w, x1, y1, crop, crop, t.out, t.out_size);
+  } else if (t.out_size > 0) {
     center_crop_scale(rgb.data(), w, h, t.out, t.out_size);
   } else {
     // raw copy expects caller buffer sized w*h*3 (query first)
@@ -211,6 +259,27 @@ int cfn_decode_batch(const char** paths, int n, int out_size, uint8_t* out,
   for (int i = 0; i < n; ++i) {
     tasks[i] = DecodeTask{paths[i], nullptr, 0, out + i * stride, out_size,
                           &status[i]};
+  }
+  run_pool(&tasks, num_threads);
+  int failures = 0;
+  for (int i = 0; i < n; ++i)
+    if (status[i] != 0) ++failures;
+  return failures;
+}
+
+// Train-path decode: random scale+position crop (one per *clip* — the
+// reference randomises once per clip then applies to every frame,
+// charades_fine.py:170-173) resized to out_size.  Same contract as
+// cfn_decode_batch otherwise.
+int cfn_decode_batch_rc(const char** paths, int n, int out_size, double scale,
+                        double tl_x, double tl_y, uint8_t* out, int* status,
+                        int num_threads) {
+  std::vector<DecodeTask> tasks(n);
+  size_t stride = static_cast<size_t>(out_size) * out_size * 3;
+  for (int i = 0; i < n; ++i) {
+    tasks[i] = DecodeTask{paths[i], nullptr,    0,    out + i * stride,
+                          out_size, &status[i], 1,    scale,
+                          tl_x,     tl_y};
   }
   run_pool(&tasks, num_threads);
   int failures = 0;
@@ -269,11 +338,10 @@ int cfn_pack_num_frames(const char* pack_path) {
   return static_cast<int>(n);
 }
 
-// Decode frames [indices] (0-based) from a pack, centre-crop-scaled to
-// out_size.  Returns failure count, or <0 on container error.
-int cfn_decode_packed(const char* pack_path, const int* indices, int n_idx,
-                      int out_size, uint8_t* out, int* status,
-                      int num_threads) {
+static int decode_packed_impl(const char* pack_path, const int* indices,
+                              int n_idx, int out_size, uint8_t* out,
+                              int* status, int num_threads, int crop_mode,
+                              double scale, double tl_x, double tl_y) {
   int fd = open(pack_path, O_RDONLY);
   if (fd < 0) return -1;
   int64_t magic = 0, n = 0;
@@ -307,14 +375,32 @@ int cfn_decode_packed(const char* pack_path, const int* indices, int n_idx,
   std::vector<DecodeTask> tasks(n_idx);
   size_t stride = static_cast<size_t>(out_size) * out_size * 3;
   for (int i = 0; i < n_idx; ++i) {
-    tasks[i] = DecodeTask{nullptr, blobs[i].data(), blobs[i].size(),
-                          out + i * stride, out_size, &status[i]};
+    tasks[i] = DecodeTask{nullptr,  blobs[i].data(), blobs[i].size(),
+                          out + i * stride, out_size, &status[i],
+                          crop_mode, scale, tl_x, tl_y};
   }
   run_pool(&tasks, num_threads);
   int failures = 0;
   for (int i = 0; i < n_idx; ++i)
     if (status[i] != 0) ++failures;
   return failures;
+}
+
+// Decode frames [indices] (0-based) from a pack, centre-crop-scaled to
+// out_size.  Returns failure count, or <0 on container error.
+int cfn_decode_packed(const char* pack_path, const int* indices, int n_idx,
+                      int out_size, uint8_t* out, int* status,
+                      int num_threads) {
+  return decode_packed_impl(pack_path, indices, n_idx, out_size, out, status,
+                            num_threads, 0, 1.0, 0.0, 0.0);
+}
+
+// Packed-container train-path decode with the random scale+position crop.
+int cfn_decode_packed_rc(const char* pack_path, const int* indices, int n_idx,
+                         int out_size, double scale, double tl_x, double tl_y,
+                         uint8_t* out, int* status, int num_threads) {
+  return decode_packed_impl(pack_path, indices, n_idx, out_size, out, status,
+                            num_threads, 1, scale, tl_x, tl_y);
 }
 
 }  // extern "C"

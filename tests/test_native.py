@@ -77,3 +77,70 @@ def test_dataset_native_fast_path(tmp_path):
     diff = np.abs(a["clips"].astype(int) - b["clips"].astype(int))
     assert diff.mean() < 12
     np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_decode_random_crop_matches_pil(frames):
+    """Train-path random crop: same box as MultiScaleRandomCropMultigrid,
+    bilinear resize within tolerance of PIL."""
+    from coarse_fine_networks_tpu.data.transforms import (
+        MultiScaleRandomCropMultigrid,
+    )
+
+    scale, tl_x, tl_y, size = 0.84089642, 0.3, 0.7, 32
+    out = native.decode_batch_random_crop(frames, size, scale, tl_x, tl_y,
+                                          num_threads=2)
+    assert out.shape == (len(frames), size, size, 3)
+    t = MultiScaleRandomCropMultigrid([scale], size)
+    t.scale, t.tl_x, t.tl_y, t.size = scale, tl_x, tl_y, size
+    for i, p in enumerate(frames):
+        ref = np.asarray(t(Image.open(p).convert("RGB")))
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        assert diff.mean() < 12, diff.mean()
+
+
+def test_decode_packed_random_crop(frames, tmp_path):
+    pack = str(tmp_path / "vid.cfnpack")
+    native.pack_video(frames, pack)
+    got = native.decode_packed_random_crop(pack, [1, 4], 24, 0.9, 0.2, 0.4)
+    direct = native.decode_batch_random_crop([frames[1], frames[4]], 24,
+                                             0.9, 0.2, 0.4)
+    np.testing.assert_array_equal(got, direct)
+
+
+def test_dataset_native_train_path(tmp_path):
+    """Training sampling via the C++ random-crop decoder: same RNG protocol
+    (crop window + flip decision identical to the PIL path under the same
+    seed), content within resize-filter tolerance."""
+    from coarse_fine_networks_tpu.data import (
+        CharadesDataset,
+        Compose,
+        MultiScaleRandomCropMultigrid,
+        RandomHorizontalFlip,
+    )
+
+    anno = generate_mini_charades(str(tmp_path), num_videos=2, num_frames=24,
+                                  hw=40)
+    kwargs = dict(task="loc", frames=4, gamma_tau=1, min_frames=5,
+                  crop_size=32)
+    root = os.path.join(str(tmp_path), "frames")
+
+    def make(backend):
+        import random as _random
+
+        _random.seed(5)
+        tform = Compose([
+            MultiScaleRandomCropMultigrid([1.0, 0.875, 0.75], 32),
+            RandomHorizontalFlip(deferred=True),
+        ])
+        ds = CharadesDataset(anno, "training", root, spatial_transform=tform,
+                             decode_backend=backend, seed=11, **kwargs)
+        return ds[0]
+
+    a = make("pil")
+    b = make("native")
+    assert b["clips"].shape == a["clips"].shape
+    assert a["clips"].shape[-3:] == (32, 32, 3)
+    assert a["flip"] == b["flip"]
+    np.testing.assert_array_equal(a["label"], b["label"])
+    diff = np.abs(a["clips"].astype(int) - b["clips"].astype(int))
+    assert diff.mean() < 12, diff.mean()
