@@ -171,6 +171,57 @@ def bench_input_pipeline():
     }))
 
 
+def bench_coarse_val():
+    """Batched whole-video validation throughput (VERDICT #4): B videos per
+    eval step at one padded bucket shape (the reference and round-1 driver
+    ran val at batch 1).  Reference whole-video val: ~1.85 videos/s across
+    5 GPUs ⇒ 0.37 videos/s/GPU."""
+    from coarse_fine_networks_tpu.models import CoarseNet
+    from coarse_fine_networks_tpu.train import TrainState
+    from coarse_fine_networks_tpu.train.steps import make_eval_step
+
+    b = int(os.environ.get("BENCH_VAL_BATCH", 4))
+    t = int(os.environ.get("BENCH_VAL_T", 256))  # padded bucket length
+    rng = np.random.RandomState(0)
+    batch = {
+        "clips": jnp.asarray(rng.rand(b, t, HW, HW, 3), DTYPE),
+        "feats": {
+            k: jnp.asarray(rng.rand(b, TF, 7, 7, c), jnp.float32)
+            for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
+                         ("layer4", 192), ("conv5", 432)]
+        },
+        "feat_mask": jnp.ones((b, TF), jnp.float32),
+        "meta": jnp.asarray([[0, t, 2 * t, 1]] * b, jnp.int32),
+        "labels": jnp.asarray((rng.rand(b, 4 * t, N_CLASSES) > 0.9),
+                              jnp.float32),
+        "masks": jnp.ones((b, 4 * t), jnp.float32),
+    }
+    model = CoarseNet(version="M", n_classes=N_CLASSES, task="loc",
+                      t_pool="grid", learned_mixing=True, is_mixing=True,
+                      compute_dtype=DTYPE)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           batch["clips"][:1, :16], batch["feats"],
+                           batch["feat_mask"], batch["meta"], False))()
+    state = TrainState.create(variables)
+    step = make_eval_step(model, align_corners=False)
+    out = step(state, batch)
+    jax.block_until_ready(out["probs"])
+    t0 = time.time()
+    for _ in range(STEPS):
+        out = step(state, batch)
+    jax.block_until_ready(out["probs"])
+    dt = (time.time() - t0) / STEPS
+    log(f"eval step {dt * 1e3:.1f} ms for {b} videos of T={t}")
+    print(json.dumps({
+        "metric": "coarse_val_videos_per_sec_per_chip",
+        "value": round(b / dt, 2),
+        "unit": f"videos/s/chip (batched whole-video eval, B{b} T{t} "
+                f"@ {HW}^2)",
+        "vs_baseline": round((b / dt) / (1.85 / 5), 2),
+    }))
+
+
 def main():
     mode = os.environ.get("BENCH_MODE")
     if mode == "fine_forward":
@@ -181,6 +232,9 @@ def main():
         return
     if mode == "input_pipeline":
         bench_input_pipeline()
+        return
+    if mode == "coarse_val":
+        bench_coarse_val()
         return
     from coarse_fine_networks_tpu.models import CoarseNet
     from coarse_fine_networks_tpu.train import TrainState, make_train_step

@@ -140,6 +140,10 @@ class CharadesDataset:
     def __len__(self) -> int:
         return len(self.data)
 
+    def num_frames(self, index: int) -> int:
+        """Frame count of video ``index`` — the length-bucketing sort key."""
+        return self.data[index][3]
+
     def _load_feats(self, vid: str) -> Dict[str, np.ndarray]:
         """Cached fine features → ``(T_f, 7, 7, C)`` float32 per key."""
         feats = {}
@@ -252,17 +256,35 @@ def _round_up(n: int, multiple: Optional[int]) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _bucket_up(n: int, multiple: Optional[int]) -> int:
+    """Round up to ``multiple * 2^k`` — geometric padding buckets, so the
+    number of distinct padded shapes (= XLA programs) is O(log T_max) instead
+    of O(T_max / multiple)."""
+    if not multiple:
+        return n
+    m = multiple
+    while m < n:
+        m *= 2
+    return m
+
+
 def collate_clips(
     batch: List[dict],
     pad_t_multiple: Optional[int] = None,
     pad_label_multiple: Optional[int] = None,
+    bucket: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Zero-pad clips/labels to the batch max (optionally bucketed up to a
     multiple to bound XLA recompiles) and emit the label-validity mask
-    (``mt_collate_fn``, ``charades_fine.py:201-224``)."""
-    max_t = _round_up(max(b["clips"].shape[1] for b in batch), pad_t_multiple)
-    max_l = _round_up(max(b["label"].shape[0] for b in batch),
-                      pad_label_multiple)
+    (``mt_collate_fn``, ``charades_fine.py:201-224``).
+
+    ``bucket=True`` pads to geometric ``multiple * 2^k`` buckets instead of
+    the next multiple — whole-video validation then compiles O(log T) shapes
+    total (pair with the loader's length-sorted order for tight batches)."""
+    up = _bucket_up if bucket else _round_up
+    max_t = up(max(b["clips"].shape[1] for b in batch), pad_t_multiple)
+    max_l = up(max(b["label"].shape[0] for b in batch),
+               pad_label_multiple)
     n, h, w = batch[0]["clips"].shape[0], *batch[0]["clips"].shape[2:4]
     c = batch[0]["label"].shape[-1]
 
@@ -296,13 +318,18 @@ def collate_coarse(
     feat_cap: int = FEAT_CAP,
     pad_t_multiple: Optional[int] = None,
     pad_label_multiple: Optional[int] = None,
+    bucket: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Coarse-stream collate: also pads cached fine features, **capped at
     ``feat_cap`` frames**, with a feature mask
     (``charades_coarse_fineFEAT.py:208-252``)."""
-    out = collate_clips(batch, pad_t_multiple, pad_label_multiple)
+    out = collate_clips(batch, pad_t_multiple, pad_label_multiple,
+                        bucket=bucket)
     keys = list(batch[0]["feats"].keys())
-    max_f = min(max(b["feats"][keys[0]].shape[0] for b in batch), feat_cap)
+    max_f = max(b["feats"][keys[0]].shape[0] for b in batch)
+    if bucket:
+        max_f = _bucket_up(max_f, 16)
+    max_f = min(max_f, feat_cap)
 
     feats = {}
     for k in keys:

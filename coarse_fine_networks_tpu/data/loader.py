@@ -29,6 +29,7 @@ class PrefetchLoader:
         drop_last: bool = False,
         seed: int = 0,
         shard: "tuple[int, int] | None" = None,
+        sort_key: "Callable[[int], int] | None" = None,
     ):
         """``shard=(rank, world)`` makes this loader produce the per-host
         slice of each *global* batch for multi-process data parallelism: all
@@ -49,6 +50,9 @@ class PrefetchLoader:
         self.seed = seed
         self.epoch = 0
         self.shard = shard
+        # length-bucketed batching: order samples by key (e.g. video frame
+        # count) so each batch pads to a tight, recompile-friendly max
+        self.sort_key = sort_key
         if shard is not None:
             rank, world = shard
             if not (0 <= rank < world):
@@ -68,6 +72,8 @@ class PrefetchLoader:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
+        elif self.sort_key is not None:
+            idx.sort(key=self.sort_key)
         out = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)

@@ -35,7 +35,12 @@ from .config import DriverConfig
 from .fine_driver import build_transforms, _add_ap_batches
 from .optim import MultiStepSchedule
 from .state import TrainState
-from .steps import bn_aggregated, make_eval_step, make_train_step
+from .steps import (
+    bn_aggregated,
+    jit_cache_size,
+    make_eval_step,
+    make_train_step,
+)
 
 log = get_logger()
 
@@ -59,9 +64,13 @@ def build_coarse_loaders(cfg: DriverConfig):
                                   shuffle=True, num_workers=cfg.num_workers,
                                   prefetch=cfg.prefetch, drop_last=True,
                                   seed=cfg.seed, shard=shard)
-    val_loader = PrefetchLoader(val_ds, cfg.val_batch_size or 1, collate,
-                                shuffle=False, num_workers=cfg.num_workers,
-                                prefetch=cfg.prefetch)
+    val_collate = lambda b: collate_coarse(  # noqa: E731
+        b, pad_t_multiple=cfg.pad_t_multiple,
+        pad_label_multiple=cfg.pad_label_multiple, bucket=cfg.val_bucket)
+    val_loader = PrefetchLoader(
+        val_ds, cfg.val_batch_size or 1, val_collate, shuffle=False,
+        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
+        sort_key=val_ds.num_frames if cfg.val_length_sorted else None)
     return train_loader, val_loader
 
 
@@ -230,7 +239,10 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                     writer.close()
                 val_map = val_apm.mean()
                 val_apm.reset()
-                log.info("epoch %d VAL mAP(25fr) %.4f", epochs, val_map)
+                log.info("epoch %d VAL mAP(25fr) %.4f (jit shapes: eval %s "
+                         "chunk %s)", epochs, val_map,
+                         jit_cache_size(eval_step),
+                         jit_cache_size(chunk_apply))
                 results["val_map"] = val_map
                 sched.epoch_step()
             if cfg.max_steps and int(state.step) >= cfg.max_steps:

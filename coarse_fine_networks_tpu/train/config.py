@@ -53,7 +53,11 @@ class DriverConfig:
     crop_size_override: Optional[int] = None
     pad_t_multiple: Optional[int] = 16
     pad_label_multiple: Optional[int] = 64
-    t_lim_inference: int = 1000    # chunked long-video eval (coarse)
+    t_lim_inference: int = 1000    # chunked long-video eval (both streams)
+    val_bucket: bool = True        # geometric (x2) val padding buckets:
+    # O(log T) compiled shapes instead of one per 16-frame length
+    val_length_sorted: bool = True  # order val videos by length so batches
+    # pad tightly (enables val_batch_size > 1 without padding waste)
     seed: int = 0
     max_steps: Optional[int] = None      # early stop for tests
     max_val_batches: Optional[int] = None

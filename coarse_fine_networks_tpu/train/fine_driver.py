@@ -40,7 +40,14 @@ from .common import (
 from .config import DriverConfig
 from .optim import MultiStepSchedule
 from .state import TrainState
-from .steps import bn_aggregated, make_eval_step, make_train_step
+from .steps import (
+    bn_aggregated,
+    crop_reduced_loss as _crop_reduced_loss,
+    jit_cache_size,
+    make_eval_step,
+    make_train_step,
+    t_chunks as _t_chunks,
+)
 
 log = get_logger()
 
@@ -78,9 +85,12 @@ def build_fine_loaders(cfg: DriverConfig):
                                   shuffle=True, num_workers=cfg.num_workers,
                                   prefetch=cfg.prefetch, drop_last=True,
                                   seed=cfg.seed, shard=shard)
-    val_loader = PrefetchLoader(val_ds, vbs, collate, shuffle=False,
-                                num_workers=cfg.num_workers,
-                                prefetch=cfg.prefetch)
+    val_collate = lambda b: collate_clips(  # noqa: E731
+        b, cfg.pad_t_multiple, cfg.pad_label_multiple, bucket=cfg.val_bucket)
+    val_loader = PrefetchLoader(
+        val_ds, vbs, val_collate, shuffle=False,
+        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
+        sort_key=val_ds.num_frames if cfg.val_length_sorted else None)
     return train_loader, val_loader
 
 
@@ -184,11 +194,27 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         break
             else:
                 eval_state = bn_aggregated(state)
+                eval_vars = {"params": eval_state.params,
+                             "batch_stats": eval_state.batch_stats}
+                chunk_apply = jax.jit(
+                    lambda v, c: model.apply(v, c, train=False))
                 vloss = 0.0
                 nval = 0
                 for batch in val_loader:
                     mb = model_batch(batch, train=False)
-                    out = eval_step(eval_state, mb, cfg.crops)
+                    t = mb["clips"].shape[1]
+                    if t < cfg.t_lim_inference + 5:
+                        out = eval_step(eval_state, mb, cfg.crops)
+                    else:
+                        # chunked long-video eval, mirroring the coarse
+                        # stream's bounded windows
+                        # (train_coarse_fineFEAT.py:215-224)
+                        logits = jnp.concatenate([
+                            chunk_apply(eval_vars, part) for part in
+                            _t_chunks(mb["clips"], cfg.t_lim_inference)
+                        ], axis=1)
+                        out = _crop_reduced_loss(logits, mb, cfg.crops,
+                                                 cfg.align_corners)
                     vloss += float(out["loss"])
                     nval += 1
                     _add_ap(val_apm, np.asarray(out["probs"]),
@@ -197,8 +223,10 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         break
                 val_map = val_apm.mean()
                 val_apm.reset()
-                log.info("epoch %d VAL loss %.4f mAP %.4f", epochs,
-                         vloss / max(nval, 1), val_map)
+                log.info("epoch %d VAL loss %.4f mAP %.4f (jit shapes: "
+                         "eval %s chunk %s)", epochs,
+                         vloss / max(nval, 1), val_map,
+                         jit_cache_size(eval_step), jit_cache_size(chunk_apply))
                 results["val_map"] = val_map
                 results["val_loss"] = vloss / max(nval, 1)
                 sched.epoch_step()

@@ -174,6 +174,45 @@ def make_eval_step(model, align_corners: bool = True) -> Callable:
     return jax.jit(step, static_argnums=(2,))
 
 
+def t_chunks(clips: jax.Array, t_lim: int):
+    """Split a whole-video clip tensor into <=t_lim temporal windows
+    (the chunked-inference bound, ``train_coarse_fineFEAT.py:215-224``)."""
+    t = clips.shape[1]
+    out = []
+    for ti in range(0, t // t_lim + 1):
+        part = clips[:, ti * t_lim : min(t, (ti + 1) * t_lim)]
+        if part.shape[1]:
+            out.append(part)
+    return out
+
+
+def crop_reduced_loss(logits: jax.Array, batch: Dict[str, Any], crops: int,
+                      align_corners: bool) -> Dict[str, jax.Array]:
+    """Eval tail shared with :func:`make_eval_step`: resize logits to label
+    length, multi-crop max-reduce, masked probs, detection loss."""
+    tl = batch["labels"].shape[1]
+    logits = linear_resize(logits, tl, align_corners=align_corners)
+    if crops > 1:
+        bn = logits.shape[0]
+        logits = logits.reshape(bn // crops, crops, *logits.shape[1:])
+        probs = jnp.max(jax.nn.sigmoid(logits), axis=1)
+    else:
+        probs = jax.nn.sigmoid(logits)
+    probs = probs * batch["masks"][:, :, None]
+    total, cls, loc = detection_loss(probs, batch["labels"], batch["masks"])
+    return {"loss": total, "cls_loss": cls, "loc_loss": loc, "probs": probs}
+
+
+def jit_cache_size(fn) -> int:
+    """Number of compiled programs held by a jitted callable (-1 if the
+    runtime doesn't expose it) — the drivers log this after validation so
+    shape-driven recompiles are visible."""
+    try:
+        return fn._cache_size()
+    except Exception:
+        return -1
+
+
 def bn_aggregated(state: TrainState) -> TrainState:
     """Return a state with SubBN eval stats refreshed from split stats."""
     from ..models.layers import aggregate_sub_bn_stats

@@ -184,3 +184,72 @@ def test_bucketing_bounds_shape_count(mini):
     assert len(shapes) == 1  # all batches land in the same bucket
     t = b["clips"].shape[2]
     assert t % 8 == 0 and b["labels"].shape[1] % 16 == 0
+
+
+def test_bucketed_collate_bounds_shapes():
+    """Geometric padding buckets + length-sorted order: mixed-length videos
+    produce O(log T) distinct padded shapes (VERDICT #4)."""
+    from coarse_fine_networks_tpu.data.dataset import collate_clips
+    from coarse_fine_networks_tpu.data.loader import PrefetchLoader
+
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(17, 400, size=40).tolist()
+
+    class FakeDS:
+        def __len__(self):
+            return len(lengths)
+
+        def num_frames(self, i):
+            return lengths[i]
+
+        def __getitem__(self, i):
+            t = lengths[i]
+            return {
+                "clips": np.zeros((1, t, 8, 8, 3), np.uint8),
+                "label": np.zeros((t * 2, 5), np.float32),
+                "vid": f"v{i}", "meta": np.zeros(4, np.int32),
+                "dur": 1.0, "flip": False,
+            }
+
+    ds = FakeDS()
+    loader = PrefetchLoader(
+        ds, 4, lambda b: collate_clips(b, 16, 64, bucket=True),
+        shuffle=False, num_workers=2, sort_key=ds.num_frames)
+    shapes = set()
+    seen_max = 0
+    for batch in loader:
+        shapes.add((batch["clips"].shape[2], batch["labels"].shape[1]))
+        # length-sorted: batch maxima are non-decreasing
+        assert batch["clips"].shape[2] >= seen_max
+        seen_max = batch["clips"].shape[2]
+    # buckets are 16*2^k up to 512: at most 6 clip shapes; unbucketed
+    # pad-to-16 would give up to 24
+    assert len(shapes) <= 6, shapes
+    for t_pad, l_pad in shapes:
+        assert t_pad in (16, 32, 64, 128, 256, 512)
+        assert l_pad in (64, 128, 256, 512, 1024)
+
+
+def test_bucketed_coarse_collate_feats():
+    from coarse_fine_networks_tpu.data.dataset import collate_coarse
+
+    def sample(t, tf):
+        return {
+            "clips": np.zeros((1, t, 8, 8, 3), np.uint8),
+            "label": np.zeros((t, 5), np.float32),
+            "vid": "v", "meta": np.zeros(4, np.int32), "dur": 1.0,
+            "flip": False,
+            "feats": {"layer1": np.zeros((tf, 7, 7, 4), np.float32)},
+        }
+
+    out = collate_coarse([sample(20, 21), sample(33, 40)], feat_cap=128,
+                         pad_t_multiple=16, pad_label_multiple=16,
+                         bucket=True)
+    assert out["clips"].shape[2] == 64        # bucket_up(33, 16)
+    assert out["feats"]["layer1"].shape[1] == 64  # bucket_up(40, 16)
+    assert out["feat_mask"].shape[1] == 64
+    # cap still enforced
+    out2 = collate_coarse([sample(20, 300)], feat_cap=128,
+                          pad_t_multiple=16, pad_label_multiple=16,
+                          bucket=True)
+    assert out2["feats"]["layer1"].shape[1] == 128
