@@ -44,6 +44,26 @@ def replace_logits(params: Dict, n_classes: int, rng: jax.Array,
     return params
 
 
+def set_bn_splits(batch_stats: Dict, num_splits: int) -> Dict:
+    """Rebuild every SubBN's split running stats at an *absolute* split count
+    (the long-cycle driver moves between phases whose split counts are not
+    multiples of each other, so the relative :func:`update_bn_splits` cannot
+    express a transition like 8 → 4)."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            if {"mean", "var", "split_mean", "split_var"} <= set(node.keys()):
+                c = node["mean"].shape[0]
+                out = dict(node)
+                out["split_mean"] = jnp.zeros((num_splits * c,), jnp.float32)
+                out["split_var"] = jnp.ones((num_splits * c,), jnp.float32)
+                return out
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(batch_stats)
+
+
 def update_bn_splits(batch_stats: Dict, scale: int) -> Dict:
     """Multigrid long-cycle hook: rebuild every SubBN's split running stats at
     ``num_splits * scale`` (fresh zeros/ones, like the reference's new

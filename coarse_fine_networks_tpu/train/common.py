@@ -75,7 +75,8 @@ def batch_shape_key(mb) -> tuple:
     return tuple(a.shape for a in jax.tree.leaves(mb))
 
 
-def iter_train_batches(loader, cfg: DriverConfig, mesh=None):
+def iter_train_batches(loader, cfg: DriverConfig, mesh=None,
+                       batch_size=None):
     """Yield ``(device_batch, host_batches)`` for the train loop.
 
     With ``cfg.num_steps_per_update > 1``, groups that many consecutive
@@ -88,8 +89,9 @@ def iter_train_batches(loader, cfg: DriverConfig, mesh=None):
     """
     accum = max(cfg.num_steps_per_update, 1)
     dtype = jnp.dtype(cfg.compute_dtype)
-    # multi-process: the loader yields this host's shard of the global batch
-    local_bs = cfg.batch_size // jax.process_count()
+    # multi-process: the loader yields this host's shard of the global batch;
+    # batch_size overrides cfg (the multigrid schedule scales it per phase)
+    local_bs = (batch_size or cfg.batch_size) // jax.process_count()
     pending_mb: list = []
     pending_host: list = []
     key_shape = None

@@ -63,6 +63,9 @@ class DriverConfig:
     max_val_batches: Optional[int] = None
     localize_csv: Optional[str] = None   # coarse val CSV output
     debug_nans: bool = False       # opt-in jit-level NaN checks
+    multigrid: bool = False        # drive the X3D long-cycle schedule
+    # (frames/crop/batch/bn_splits change per phase; fine driver only)
+    multigrid_epochs_per_phase: int = 1
 
     @property
     def crop_size(self) -> int:

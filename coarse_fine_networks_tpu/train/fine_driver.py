@@ -38,6 +38,7 @@ from .common import (
     save_train_state,
 )
 from .config import DriverConfig
+from .multigrid import LongCycleSchedule
 from .optim import MultiStepSchedule
 from .state import TrainState
 from .steps import (
@@ -145,15 +146,52 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         state = replicate(state, mesh)
         log.info("data-parallel mesh over %d devices", cfg.mesh_devices)
 
-    train_step = make_train_step(model, align_corners=cfg.align_corners,
-                                 momentum=cfg.momentum,
-                                 weight_decay=cfg.weight_decay,
-                                 accum_steps=cfg.num_steps_per_update)
+    def build_train_step(m):
+        return make_train_step(m, align_corners=cfg.align_corners,
+                               momentum=cfg.momentum,
+                               weight_decay=cfg.weight_decay,
+                               accum_steps=cfg.num_steps_per_update)
+
+    train_step = build_train_step(model)
     eval_step = make_eval_step(model, align_corners=cfg.align_corners)
     key = jax.random.PRNGKey(cfg.seed)
 
+    # X3D long-cycle multigrid (activates the reference's dormant hooks:
+    # x3d_fine.py:313-318, spatial_transforms.py:505-509): per phase the
+    # dataset window/crop and loader batch change, and the module is rebuilt
+    # with the phase's SubBN split count.
     tr_apm, val_apm = APMeter(), APMeter()
     results: Dict[str, float] = {}
+    mg = None
+    mg_state = (None, None)  # ((frames, crop, batch), bn_splits)
+    if cfg.multigrid:
+        mg = LongCycleSchedule(cfg.frames, cfg.crop_size, cfg.batch_size,
+                               epochs_per_phase=cfg.multigrid_epochs_per_phase)
+        results_phases: list = []
+        results["multigrid_phases"] = results_phases  # mutated in place
+
+    def mg_apply(epoch_idx: int, state):
+        nonlocal model, train_step, mg_state
+        shapes = mg.shapes(epoch_idx)
+        splits = cfg.base_bn_splits * mg.phase(epoch_idx).bn_split_scale
+        if (shapes, splits) == mg_state:
+            return state, shapes[2]
+        frames, crop, bsz = shapes
+        train_loader.dataset.frames = frames * 2      # dataset convention
+        train_loader.dataset.crop_size = crop
+        train_loader.batch_size = bsz
+        if splits != (mg_state[1] or cfg.base_bn_splits):
+            new_stats, _ = mg.transition(epoch_idx, state.batch_stats,
+                                         cfg.base_bn_splits)
+            state = state.replace(batch_stats=new_stats)
+            model = model.clone(bn_splits=splits)
+            train_step = build_train_step(model)
+        mg_state = (shapes, splits)
+        log.info("multigrid phase @ epoch %d: frames %d crop %d batch %d "
+                 "bn_splits %d", epoch_idx, frames, crop, bsz, splits)
+        results_phases.append((epoch_idx, frames, crop, bsz, splits))
+        return state, bsz
+
     epochs = 0
     iterations_per_epoch = max(len(train_loader), 1)
     s_times = max(iterations_per_epoch // cfg.log_every_frac, 1)
@@ -163,8 +201,11 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
         for phase in cfg.train_phases_per_val * ["train"] + ["val"]:
             if phase == "train":
                 epochs += 1
-                for mb, host_batches in iter_train_batches(train_loader, cfg,
-                                                           mesh):
+                cur_bs = cfg.batch_size
+                if mg is not None:
+                    state, cur_bs = mg_apply(epochs - 1, state)
+                for mb, host_batches in iter_train_batches(
+                        train_loader, cfg, mesh, batch_size=cur_bs):
                     lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
                     state, metrics = train_step(state, mb, lr, key)
                     tot["loss"] += float(metrics["loss"])

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Tuple
 
-from ..models.surgery import update_bn_splits
+from ..models.surgery import set_bn_splits
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,8 +57,11 @@ class LongCycleSchedule:
         crop = int(c * p.crop_scale) // 16 * 16 or 16
         return frames, crop, b * p.batch_scale
 
-    def transition(self, epoch: int, batch_stats: dict) -> Tuple[dict, int]:
-        """At a phase boundary, rebuild SubBN split stats for the new split
-        count; returns (new_batch_stats, bn_split_scale)."""
+    def transition(self, epoch: int, batch_stats: dict,
+                   base_splits: int = 1) -> Tuple[dict, int]:
+        """At a phase boundary, rebuild SubBN split stats at the phase's
+        *absolute* split count ``base_splits * bn_split_scale``; returns
+        (new_batch_stats, num_splits)."""
         p = self.phase(epoch)
-        return update_bn_splits(batch_stats, p.bn_split_scale), p.bn_split_scale
+        splits = base_splits * p.bn_split_scale
+        return set_bn_splits(batch_stats, splits), splits
