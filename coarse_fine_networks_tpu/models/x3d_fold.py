@@ -238,12 +238,46 @@ class FoldedStage(nn.Module):
         return x
 
 
+def _conv1s_fold4(x: jax.Array, w: jax.Array, planes: int) -> jax.Array:
+    """conv1_s (1x3x3 / s(1,2,2), ``x3d_fine.py:210-216``) emitting fold4
+    output **directly from one XLA conv** — no plain-layout intermediate and
+    no pack pass.
+
+    Input is 2x2 space-to-depth'd to ``(B, T, H/2, W/2, 4*C_in)`` (XLA fuses
+    this relayout into the conv read); the canonical taps are scattered into
+    a ``(1, 5, 2, 4*C_in, 4*P)`` kernel whose output features ARE the fold4
+    lanes: output feature ``py*P + c`` at block row Y is original output row
+    ``4Y + py``.  Output rows 4Y+py read original rows ``8Y+2py-1+dy`` =
+    s2d rows ``4Y+py-1`` (phase 1, dy=0) / ``4Y+py`` (phase 0/1, dy=1/2) —
+    a height-5 window at H-stride 4 with one top pad row.  Structural-zero
+    pad lanes cost 4/3 extra MACs and buy a write in the exact target tiling.
+    """
+    b, t, h, wd, c_in = x.shape
+    p = fold_pad(planes)
+    xs = x.reshape(b, t, h // 2, 2, wd // 2, 2, c_in)
+    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, wd // 2,
+                                                   4 * c_in)
+    w2 = jnp.zeros((1, 5, 2, 4 * c_in, FOLD * p), w.dtype)
+    for py in range(FOLD):
+        for dy in range(3):
+            k = py if dy == 0 else py + 1
+            ph = 0 if dy == 1 else 1
+            for dx in range(3):
+                kx, q = (0, 1) if dx == 0 else (1, dx - 1)
+                w2 = w2.at[0, k, kx,
+                           (ph * 2 + q) * c_in:(ph * 2 + q + 1) * c_in,
+                           py * p:py * p + planes].set(w[0, dy, dx])
+    return jax.lax.conv_general_dilated(
+        xs, w2.astype(x.dtype), (1, 4, 1), [(0, 0), (1, 0), (1, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
 class FoldedStem(nn.Module):
     """Stem in fold space (same parameters as :class:`..models.x3d.X3DStem`
-    with ``s2d=True``): the space-to-depth conv1_s produces the plain layout,
-    which is folded once; conv1_t (depthwise 5x1x1) and bn1 then run in fold
-    space (temporal taps are lane-aligned, so conv1_t is a plain lane-tiled
-    depthwise conv)."""
+    with ``s2d=True``): conv1_s writes fold4 directly
+    (:func:`_conv1s_fold4`); conv1_t (depthwise 5x1x1) and bn1 then run in
+    fold space (temporal taps are lane-aligned, so conv1_t is a plain
+    lane-tiled depthwise conv)."""
 
     planes: int
     bn_splits: int = 1
@@ -251,13 +285,13 @@ class FoldedStem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        from .x3d import _s2d_conv1_s
+        from .x3d import _Conv1sParam
 
         c_in = x.shape[-1]
-        x = _s2d_conv1_s(x, self, c_in)             # (B, T, H/2, W/2, planes)
         c = self.planes
         p = fold_pad(c)
-        x = to_fold4(x, p)
+        w1 = _Conv1sParam(c, c_in, name="conv1_s")()
+        x = _conv1s_fold4(x, w1, c)                 # (B, T, H/8, W/2, 4P)
 
         wt = _KernelParam((5, 1, 1, 1, c), name="conv1_t")()
         wl = jnp.pad(wt.reshape(5, c), ((0, 0), (0, p - c)))

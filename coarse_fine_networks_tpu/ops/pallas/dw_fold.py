@@ -390,6 +390,325 @@ def _dw_fold4_s2_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
     )(w_lane, x)
 
 
+# ---- dedicated stride-2 backward kernels -----------------------------------
+#
+# y[t,m,n] = Σ_{dt,dy,dxx} w · x[t+dt-1, 2m+dy-1, 2n+dxx-1]  (fwd, s=(1,2,2))
+#
+# dx[t,r,c] = Σ_taps w[dt,dy,dxx] · g[t-dt+1, (r-dy+1)/2, (c-dxx+1)/2]
+#   (terms where the divisions are integral) — rather than zero-upsampling g
+#   to full resolution (3 extra full-res passes), these kernels read the
+#   half-res g directly.  Row parity picks the dy taps (even r: dy=1; odd r:
+#   dy∈{0,2}); col parity picks dxx the same way, so the accumulation runs as
+#   separate even/odd-column accumulators at W/2 that a bf16 sublane-pair
+#   bitcast interleaves on the way out.
+#
+# dk[dt,dy,dxx] = Σ g[t,m,u] · x[t+dt-1, 2m+dy-1, 2u+dxx-1]: per g block row
+#   the strided x rows are fixed (block, phase) pairs — 4-pick lane
+#   arrangements — and strided x cols are a sublane-pair deinterleave.
+
+
+def _interleave_w(e: jax.Array, o: jax.Array, interpret: bool) -> jax.Array:
+    """Interleave two (…, W2, L) slabs into (…, 2*W2, L) along the sublane
+    axis: out[2u]=e[u], out[2u+1]=o[u].  bf16 path packs via the u32 sublane-
+    pair bitcast (bf16→f32 widening is an exact <<16)."""
+    if interpret:
+        s = jnp.stack([e, o], axis=-2)  # (…, W2, 2, L)
+        return s.reshape(*e.shape[:-2], 2 * e.shape[-2], e.shape[-1])
+    eu = pltpu.bitcast(e.astype(jnp.float32), jnp.uint32)  # e in high 16
+    ou = pltpu.bitcast(o.astype(jnp.float32), jnp.uint32)
+    word = (eu >> 16) | (ou & jnp.uint32(0xFFFF0000))      # lo=e, hi=o
+    return pltpu.bitcast(word, jnp.bfloat16)
+
+
+def _deinterleave_w(x: jax.Array, interpret: bool):
+    """(…, W, L) → even (…, W/2, L), odd (…, W/2, L) along sublanes."""
+    if interpret:
+        v = x.reshape(*x.shape[:-2], x.shape[-2] // 2, 2, x.shape[-1])
+        return v[..., 0, :], v[..., 1, :]
+    u = pltpu.bitcast(x, jnp.uint32)
+    even = pltpu.bitcast((u & jnp.uint32(0xFFFF)) << 16, jnp.float32)
+    odd = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return even.astype(jnp.bfloat16), odd.astype(jnp.bfloat16)
+
+
+def _slot_select(picks, slabs, p: int, lanes: int, interpret: bool):
+    """Build the lane arrangement ``out[slot·P+c] = slabs[row][rho·P+c]`` from
+    ``picks = [(slot, rho, row_key), …]``; unlisted slots are zero."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
+    out = None
+    for slot, rho, row_key in picks:
+        src = slabs[row_key]
+        r = _lane_roll(src, (slot - rho) * p, interpret)
+        m = jnp.logical_and(lane >= slot * p, lane < (slot + 1) * p)
+        out = jnp.where(m, r, 0 if out is None else out)
+    return out
+
+
+# (dy, o) → two (slot, g-phase, same/next block) picks; o is the member of
+# the full-res block pair Y = 2Z+o produced from g block Z (see derivation
+# above: slot py reads g row 4Z + 2o + (py-dy+1)/2).
+_DX_PICKS = {
+    (0, 0): [(1, 1, 0), (3, 2, 0)],
+    (1, 0): [(0, 0, 0), (2, 1, 0)],
+    (2, 0): [(1, 0, 0), (3, 1, 0)],
+    (0, 1): [(1, 3, 0), (3, 0, 1)],
+    (1, 1): [(0, 2, 0), (2, 3, 0)],
+    (2, 1): [(1, 2, 0), (3, 3, 0)],
+}
+
+
+def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tile, sem, *, tt, ht, w2, lanes, p,
+                  n_t, n_h, interpret):
+    b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _load_halo_tile(g_hbm, g_tile, sem, b, ti, hi, tt, ht, w2, n_t, n_h)
+
+    for z in range(ht):
+        slabs = {0: g_tile[:, 1 + z, :, :], 1: g_tile[:, 2 + z, :, :]}
+        for o in (0, 1):
+            acc_e = jnp.zeros((tt, w2, lanes), F32)
+            acc_o = jnp.zeros((tt, w2, lanes), F32)
+            for dy in range(3):
+                arr = _slot_select(_DX_PICKS[(dy, o)], slabs, p, lanes,
+                                   interpret)
+                for dt in range(3):
+                    a = arr[2 - dt:2 - dt + tt]      # g[t - dt + 1]
+                    base = (dt * 3 + dy) * 3
+                    acc_e += (a[:, 8:8 + w2, :].astype(F32)
+                              * w_ref[base + 1, :][None, None, :])
+                    acc_o += (a[:, 9:9 + w2, :].astype(F32)
+                              * w_ref[base, :][None, None, :])
+                    acc_o += (a[:, 8:8 + w2, :].astype(F32)
+                              * w_ref[base + 2, :][None, None, :])
+            o_ref[0, :, 2 * z + o, :, :] = _interleave_w(
+                acc_e.astype(o_ref.dtype), acc_o.astype(o_ref.dtype),
+                interpret)
+
+
+# dy → four (slot, x-phase, x tile row offset vs 2z) picks for the wgrad
+# arrangement: slot pg reads x row 8Z + 2·pg + dy − 1 (tile row 1+2z+δ holds
+# x block 2Z+δ; row 2z is the block above).
+_WG_PICKS = {
+    0: [(0, 3, 0), (1, 1, 1), (2, 3, 1), (3, 1, 2)],
+    1: [(0, 0, 1), (1, 2, 1), (2, 0, 2), (3, 2, 2)],
+    2: [(0, 1, 1), (1, 3, 1), (2, 1, 2), (3, 3, 2)],
+}
+
+
+def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
+    """Load the full-res x window backing half-res block rows
+    [hi*ht, hi*ht+ht): x tile row j holds x block ``2*hi*ht - 1 + j`` (j=0 is
+    the above-halo row needed by the dy=0 taps), with T halo ±1."""
+    t0, h0 = ti * tt, hi * ht
+    x_tile[...] = jnp.zeros(x_tile.shape, x_tile.dtype)
+
+    def cp(src, dst):
+        d = pltpu.make_async_copy(src, dst, sem)
+        d.start()
+        d.wait()
+
+    cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0, 2 * ht), :, :],
+       x_tile.at[pl.ds(1, tt), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
+
+    @pl.when(hi > 0)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0 - 1, 1), :, :],
+           x_tile.at[pl.ds(1, tt), pl.ds(0, 1), pl.ds(8, wx), :])
+
+    @pl.when(ti > 0)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(2 * h0, 2 * ht), :, :],
+           x_tile.at[pl.ds(0, 1), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
+        @pl.when(hi > 0)
+        def _():
+            cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(2 * h0 - 1, 1), :, :],
+               x_tile.at[pl.ds(0, 1), pl.ds(0, 1), pl.ds(8, wx), :])
+
+    @pl.when(ti < n_t - 1)
+    def _():
+        cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(2 * h0, 2 * ht), :, :],
+           x_tile.at[pl.ds(tt + 1, 1), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
+        @pl.when(hi > 0)
+        def _():
+            cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(2 * h0 - 1, 1), :, :],
+               x_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, wx), :])
+
+
+def _fwd_s2_direct_kernel(w_ref, x_hbm, o_ref, x_tile, sem, *, tt, ht, w2,
+                          lanes, p, n_t, n_h, interpret):
+    """Stride-(1,2,2) forward computing ONLY the kept quarter of positions:
+    y[t,m,n] = Σ w[dt,dy,dxx]·x[t+dt-1, 2m+dy-1, 2n+dxx-1] — the full-res
+    stencil + fused subsample wastes 4x the (VPU-bound) tap MACs."""
+    b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+
+    for z in range(ht):
+        slabs = {d: x_tile[:, 2 * z + d, :, :] for d in range(3)}
+        acc = jnp.zeros((tt, w2, lanes), F32)
+        for dy in range(3):
+            arr = _slot_select(_WG_PICKS[dy], slabs, p, lanes, interpret)
+            even, odd = _deinterleave_w(arr, interpret)
+            for dt in range(3):
+                ev = even[dt:dt + tt].astype(F32)
+                od = odd[dt:dt + tt].astype(F32)
+                base = (dt * 3 + dy) * 3
+                acc += od[:, 3:3 + w2, :] * w_ref[base, :][None, None, :]
+                acc += ev[:, 4:4 + w2, :] * w_ref[base + 1, :][None, None, :]
+                acc += od[:, 4:4 + w2, :] * w_ref[base + 2, :][None, None, :]
+        o_ref[0, :, z, :, :] = acc.astype(o_ref.dtype)
+
+
+def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
+                       ) -> jax.Array:
+    b, t, hb, w, lanes = x.shape
+    hb2, w2 = hb // 2, w // 2
+    p = lanes // FOLD
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, x.dtype.itemsize)
+    n_t, n_h = t // tt, hb2 // ht
+    kernel = functools.partial(
+        _fwd_s2_direct_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p,
+        n_t=n_t, n_h=n_h, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tt, ht, w2, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, hb2, w2, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, 2 * ht + 1, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, x)
+
+
+def _wgrad_s2_kernel(x_hbm, g_hbm, o_ref, x_tile, g_tile, sem, *, tt, ht, w2,
+                     lanes, p, n_t, n_h, interpret):
+    b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    t0, h0 = ti * tt, hi * ht
+
+    is_first = jnp.logical_and(b == 0, jnp.logical_and(ti == 0, hi == 0))
+
+    @pl.when(is_first)
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+
+    def cp(src, dst):
+        d = pltpu.make_async_copy(src, dst, sem)
+        d.start()
+        d.wait()
+
+    cp(g_hbm.at[b, pl.ds(t0, tt), pl.ds(h0, ht), :, :], g_tile)
+
+    for z in range(ht):
+        gs = g_tile[:, z, :, :].astype(F32)           # (tt, w2, L)
+        slabs = {d: x_tile[:, 2 * z + d, :, :] for d in range(3)}
+        for dy in range(3):
+            arr = _slot_select(_WG_PICKS[dy], slabs, p, lanes, interpret)
+            even, odd = _deinterleave_w(arr, interpret)  # (tt+2, w2+8, L)
+            for dt in range(3):
+                ev = even[dt:dt + tt].astype(F32)
+                od = odd[dt:dt + tt].astype(F32)
+                base = (dt * 3 + dy) * 3
+                o_ref[base, :] += jnp.sum(gs * od[:, 3:3 + w2, :],
+                                          axis=(0, 1))
+                o_ref[base + 1, :] += jnp.sum(gs * ev[:, 4:4 + w2, :],
+                                              axis=(0, 1))
+                o_ref[base + 2, :] += jnp.sum(gs * od[:, 4:4 + w2, :],
+                                              axis=(0, 1))
+
+
+def _pick_tiles_s2(t: int, hb2: int, w2: int, lanes: int,
+                   itemsize: int) -> Tuple[int, int]:
+    """Tiles for the s2 backward kernels (grid over the half-res g)."""
+    budget = 10 * 1024 * 1024
+    best = (1, 1)
+    best_cost = None
+    for ht in (hb2, 14, 7, 4, 2, 1):
+        if ht > hb2 or hb2 % ht:
+            continue
+        for tt in (8, 4, 2, 1):
+            if t % tt:
+                continue
+            g_tile = (tt + 2) * (ht + 2) * (w2 + 16) * lanes * itemsize
+            x_tile = (tt + 2) * (2 * ht + 1) * (2 * w2 + 16) * lanes * itemsize
+            out2 = 2 * tt * 2 * ht * 2 * w2 * lanes * itemsize
+            acc = tt * w2 * lanes * 4 * 2
+            if g_tile + x_tile + out2 + acc >= budget:
+                continue
+            halo = ((tt + 2) * (ht + 2)) / (tt * ht)
+            if best_cost is None or halo < best_cost:
+                best, best_cost = (tt, ht), halo
+    return best
+
+
+def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
+    b, t, hb2, w2, lanes = g.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize)
+    n_t, n_h = t // tt, hb2 // ht
+    kernel = functools.partial(
+        _dx_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
+        n_h=n_h, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tt, 2 * ht, 2 * w2, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, 2 * hb2, 2 * w2, lanes),
+                                       g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, ht + 2, w2 + 16, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, g)
+
+
+def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool) -> jax.Array:
+    b, t, hb2, w2, lanes = g.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize)
+    n_t, n_h = t // tt, hb2 // ht
+    kernel = functools.partial(
+        _wgrad_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
+        n_h=n_h, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((27, lanes), lambda bi, ti, hi: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
+        scratch_shapes=[
+            pltpu.VMEM((tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes), x.dtype),
+            pltpu.VMEM((tt, ht, w2, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g)
+
+
 def _zero_upsample_fold(g: jax.Array) -> jax.Array:
     """Inverse placement of the stride-2 subsample, in fold space: output
     rows 2y' / cols 2x' get ``g``, the rest zeros (the subsample's VJP)."""
@@ -420,11 +739,12 @@ def _stride2_via_full(x, w, c, interpret):
 def dw_fold4_stride2(x: jax.Array, w: jax.Array, c: int,
                      interpret: bool = False) -> jax.Array:
     """Depthwise 3x3x3 with stride (1,2,2) on fold4 (layer-N block0,
-    ``x3d_fine.py:93,104``): the stride-1 stencil with the 2x2 subsample
-    fused into the output write (see :func:`_s2_epilogue`)."""
+    ``x3d_fine.py:93,104``): computes only the kept quarter of positions
+    (:func:`_fwd_s2_direct_kernel`) — the stencil is VPU-bound, so skipping
+    the discarded taps is a ~4x MAC saving over stencil+subsample."""
     if x.dtype == jnp.bfloat16 or interpret:
         p = x.shape[-1] // FOLD
-        return _dw_fold4_s2_raw(x, _prep_lane_weights(w, c, p), interpret)
+        return _fwd_s2_direct_raw(x, _prep_lane_weights(w, c, p), interpret)
     return _stride2_via_full(x, w, c, interpret)
 
 
@@ -433,20 +753,35 @@ def _dw_s2_fwd(x, w, c, interpret):
 
 
 def _dw_s2_bwd(c, interpret, res, g):
-    """y = subsample(dw_s1(x)) ⇒ dL/dx = dw_s1(upsample0(g), flipped taps)
-    and dk = wgrad_s1(x, upsample0(g)) — reuses the stride-1 kernels."""
+    """Dedicated half-res backward (see the s2-kernel section): dx and dk
+    read g at stride-2 resolution directly instead of zero-upsampling it to
+    full resolution and paying three full-res passes.  Compiled f32 falls
+    back to the upsample route (no bf16 sublane-pair bitcast there)."""
     x, w = res
     p = x.shape[-1] // FOLD
-    g_full = _zero_upsample_fold(g).astype(x.dtype)
-    w_flip = jnp.flip(w, axis=(0, 1, 2))
-    dx = _dw_fold4_raw(g_full, _prep_lane_weights(w_flip, c, p), interpret)
-    dk_lane = _dw_fold4_wgrad_raw(x, g_full, interpret)
+    if x.dtype == jnp.bfloat16 or interpret:
+        dx = _dx_s2_raw(g, _prep_lane_weights(w, c, p), interpret)
+        dk_lane = _wgrad_s2_raw(x, g, interpret)
+    else:
+        g_full = _zero_upsample_fold(g).astype(x.dtype)
+        w_flip = jnp.flip(w, axis=(0, 1, 2))
+        dx = _dw_fold4_raw(g_full, _prep_lane_weights(w_flip, c, p),
+                           interpret)
+        dk_lane = _dw_fold4_wgrad_raw(x, g_full, interpret)
     dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
     dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
     return dx, dk
 
 
 dw_fold4_stride2.defvjp(_dw_s2_fwd, _dw_s2_bwd)
+
+
+def fold_s2_supported(shape) -> bool:
+    """Compiled stride-2 kernel constraints: W halves must stay 8-aligned for
+    the DMA sublane slices, block rows must pair, and the lane roll's u32
+    bitcast needs even sublane counts (all true at the real trunk shapes)."""
+    _, t, hb, w, _ = shape
+    return hb % 2 == 0 and w % 16 == 0 and (w // 2) % 8 == 0 and t >= 1
 
 
 def fold_dw_conv3d(x: jax.Array, w: jax.Array, c: int,
@@ -460,10 +795,11 @@ def fold_dw_conv3d(x: jax.Array, w: jax.Array, c: int,
     if impl == "auto":
         impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
     if impl == "mixed":
-        # stride-1 convs: the Pallas stencil wins in-model; the stride-2
-        # block0 conv currently measures better through the XLA sandwich
-        # (its Pallas backward runs two full-resolution passes)
-        impl = "pallas" if stride == 1 else "sandwich"
+        # stride-1 stencil always; stride-2 uses the fused-subsample forward
+        # + dedicated half-res backward kernels where the shape qualifies
+        ok = stride == 1 or (x.dtype == jnp.bfloat16
+                             and fold_s2_supported(x.shape))
+        impl = "pallas" if ok else "sandwich"
     if impl in ("pallas", "interpret"):
         interpret = impl == "interpret"
         if stride == 1:
