@@ -259,7 +259,7 @@ def main():
                       remat=os.environ.get("BENCH_REMAT", "0") == "1",
                       stem_s2d=os.environ.get("BENCH_S2D", "1") == "1",
                       fold_pw=os.environ.get("BENCH_FOLD_PW", "0") == "1",
-                      trunk_layout=os.environ.get("BENCH_TRUNK", "plain"))
+                      trunk_layout=os.environ.get("BENCH_TRUNK", "auto"))
     log(f"init: B={B} T={T} HW={HW} TF={TF} dtype={DTYPE.__name__} "
         f"device={jax.devices()[0]}")
     t0 = time.time()

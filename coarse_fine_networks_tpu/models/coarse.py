@@ -215,8 +215,9 @@ class CoarseNet(nn.Module):
     dw_impl: str = "lax"
     stem_s2d: bool = True
     fold_pw: bool = False
-    trunk_layout: str = "plain"  # "fold4": stem+layer1 in the row-folded
-    # lane-filling layout (ops/fold.py) — same params/math, 2-4x less HBM
+    trunk_layout: str = "auto"  # "fold4": stem+layer1 in the row-folded
+    # lane-filling layout (ops/fold.py) — same params/math, 2-4x less HBM;
+    # "auto" = fold4 on TPU when the input shape folds cleanly
     feat_depth: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEAT_DEPTH.items())
 
     @nn.compact
@@ -234,7 +235,9 @@ class CoarseNet(nn.Module):
         x = x.astype(self.compute_dtype)
         t_in = x.shape[1]
 
-        if self.trunk_layout == "fold4":
+        from .fine import _resolve_trunk_layout
+
+        if _resolve_trunk_layout(self.trunk_layout, x) == "fold4":
             from ..ops.fold import from_fold4
             from .x3d_fold import FoldedStage, FoldedStem
 

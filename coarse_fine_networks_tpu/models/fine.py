@@ -21,6 +21,19 @@ TOWER_HW = 7
 FEAT_KEYS = ("layer1", "layer2", "layer3", "layer4", "conv5")
 
 
+def _resolve_trunk_layout(layout: str, x: jax.Array,
+                          t_downsample: bool = False) -> str:
+    """``auto`` → fold4 on TPU when the input shape folds cleanly (the
+    published 224²/112²/56² trunk shapes do), ``plain`` elsewhere."""
+    if layout != "auto":
+        return layout
+    # stem halves H/W and block0 halves again; both fold stages need rows
+    # divisible by 4 (ops/fold.py) → input sides divisible by 16
+    ok = (jax.default_backend() == "tpu" and not t_downsample
+          and x.shape[2] % 16 == 0 and x.shape[3] % 16 == 0)
+    return "fold4" if ok else "plain"
+
+
 class FineNet(nn.Module):
     """X3D Fine stream.
 
@@ -47,7 +60,8 @@ class FineNet(nn.Module):
     dw_impl: str = "lax"
     stem_s2d: bool = True
     fold_pw: bool = False
-    trunk_layout: str = "plain"  # "fold4": stem+layer1 row-folded (ops/fold.py)
+    trunk_layout: str = "auto"  # "fold4": stem+layer1 row-folded
+    # (ops/fold.py); "auto" = fold4 on TPU when shapes allow, else plain
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -55,7 +69,9 @@ class FineNet(nn.Module):
         blocks = get_blocks(self.version)
         x = x.astype(self.compute_dtype)
 
-        fold1 = self.trunk_layout == "fold4" and not self.t_downsample
+        layout = _resolve_trunk_layout(self.trunk_layout, x,
+                                       self.t_downsample)
+        fold1 = layout == "fold4" and not self.t_downsample
         if fold1:
             from ..ops.fold import from_fold4
             from .x3d_fold import FoldedStage, FoldedStem

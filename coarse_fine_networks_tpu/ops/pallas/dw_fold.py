@@ -795,10 +795,13 @@ def fold_dw_conv3d(x: jax.Array, w: jax.Array, c: int,
     if impl == "auto":
         impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
     if impl == "mixed":
-        # stride-1 stencil always; stride-2 uses the fused-subsample forward
-        # + dedicated half-res backward kernels where the shape qualifies
-        ok = stride == 1 or (x.dtype == jnp.bfloat16
-                             and fold_s2_supported(x.shape))
+        # stride-1 stencil when W is DMA-sublane-aligned; stride-2 uses the
+        # direct-quarter forward + dedicated half-res backward kernels where
+        # the shape qualifies
+        if stride == 1:
+            ok = x.shape[3] % 8 == 0
+        else:
+            ok = x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)
         impl = "pallas" if ok else "sandwich"
     if impl in ("pallas", "interpret"):
         interpret = impl == "interpret"
