@@ -95,21 +95,36 @@ class FoldedSubBatchNorm(nn.Module):
             n = xf.shape[0]
             if n % s != 0:
                 raise ValueError(f"batch {n} not divisible by num_splits {s}")
-            xg = xf.reshape((n // s, s) + xf.shape[1:])
-            # per-split, per-lane moments over (group, t, Hb, w) ...
-            m_l = jnp.mean(xg, axis=(0, 2, 3, 4))               # (s, 4P)
-            m2_l = jnp.mean(jnp.square(xg), axis=(0, 2, 3, 4))  # (s, 4P)
-            # ... phase-averaged to per-channel (every lane holds the same
-            # number of real rows, so this equals the plain reduction)
-            mean = m_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
-            mean2 = m2_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
-            var = mean2 - jnp.square(mean)
-            mean_lane = jax.vmap(lambda v: pad_vec(v, c, p, 0.0))(mean)
-            var_lane = jax.vmap(lambda v: pad_vec(v, c, p, 1.0))(var)
-            shape = (1, s, 1, 1, 1, FOLD * p)
-            xn = (xg - mean_lane.reshape(shape)) * jax.lax.rsqrt(
-                var_lane.reshape(shape) + self.eps)
-            xn = xn.reshape(xf.shape)
+            if s == 1:
+                # fast path: no singleton group axis (the 6-D reshape makes
+                # XLA pick a batch-major layout for the backward reduction,
+                # inserting full-tensor relayout copies around the adjacent
+                # Pallas calls)
+                m_l = jnp.mean(xf, axis=(0, 1, 2, 3))
+                m2_l = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+                mean = m_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
+                mean2 = m2_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
+                var = mean2 - jnp.square(mean)
+                mean_lane = pad_vec(mean[0], c, p, 0.0)
+                var_lane = pad_vec(var[0], c, p, 1.0)
+                xn = (xf - mean_lane) * jax.lax.rsqrt(var_lane + self.eps)
+            else:
+                xg = xf.reshape((n // s, s) + xf.shape[1:])
+                # per-split, per-lane moments over (group, t, Hb, w) ...
+                m_l = jnp.mean(xg, axis=(0, 2, 3, 4))              # (s, 4P)
+                m2_l = jnp.mean(jnp.square(xg), axis=(0, 2, 3, 4))
+                # ... phase-averaged to per-channel (every lane holds the
+                # same number of real rows, so this equals the plain
+                # reduction)
+                mean = m_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
+                mean2 = m2_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
+                var = mean2 - jnp.square(mean)
+                mean_lane = jax.vmap(lambda v: pad_vec(v, c, p, 0.0))(mean)
+                var_lane = jax.vmap(lambda v: pad_vec(v, c, p, 1.0))(var)
+                shape = (1, s, 1, 1, 1, FOLD * p)
+                xn = (xg - mean_lane.reshape(shape)) * jax.lax.rsqrt(
+                    var_lane.reshape(shape) + self.eps)
+                xn = xn.reshape(xf.shape)
             if not self.is_initializing():
                 count = (n // s) * xf.shape[1] * xf.shape[2] * xf.shape[3] * FOLD
                 unbiased = var * (count / max(count - 1, 1))

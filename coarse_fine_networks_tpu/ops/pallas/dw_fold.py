@@ -153,19 +153,22 @@ def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
 
 
 def _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
-    """Yield (tap_index, (tt, sh, w, lanes) slab) for the 27 taps of one
-    output strip starting at tile row h."""
+    """Yield (tap_index, f32 (tt, sh, w, lanes) slab) for the 27 taps of one
+    output strip starting at tile row h.  Each dy-arrangement is converted to
+    f32 ONCE (3 converts per strip, not 27) — the stencil is VPU-bound, so
+    redundant converts cost as much as the tap FMAs themselves."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lanes), 3)
     mask_up = lane < p          # dy=+1: wrapped phase comes from block Y+1
     mask_dn = lane >= 3 * p     # dy=-1: wrapped phase from block Y-1
+    a_same = in_tile[:, pl.ds(1 + h, sh), :, :]
+    a_same_f = a_same.astype(F32)
     for dy in (-1, 0, 1):
-        a_same = in_tile[:, pl.ds(1 + h, sh), :, :]
         if dy == 0:
-            r = a_same
+            r = a_same_f
         else:
             a_sh = in_tile[:, pl.ds(1 + h + dy, sh), :, :]
             mask = mask_up if dy == 1 else mask_dn
-            z = jnp.where(mask, a_sh, a_same)
+            z = jnp.where(mask, a_sh.astype(F32), a_same_f)
             r = _lane_roll(z, -dy * p, interpret)
         for dx in range(3):
             # column j of the output reads slab column 8 + j + (dx-1);
@@ -210,7 +213,7 @@ def _fwd_kernel(w_ref, x_hbm, o_ref, in_tile, sem, *, tt, ht, w, lanes, p,
             h = 2 * s
             acc = jnp.zeros((tt, 2, w, lanes), F32)
             for tap, slab in _taps(in_tile, h, 2, p, lanes, tt, w, interpret):
-                acc += slab.astype(F32) * w_ref[tap, :][None, None, None, :]
+                acc += slab * w_ref[tap, :][None, None, None, :]
             o_ref[0, :, s, :, :] = _s2_epilogue(acc, p, lanes, o_ref.dtype,
                                                 interpret)
         return
@@ -220,7 +223,7 @@ def _fwd_kernel(w_ref, x_hbm, o_ref, in_tile, sem, *, tt, ht, w, lanes, p,
         h = s * sh
         acc = jnp.zeros((tt, sh, w, lanes), F32)
         for tap, slab in _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
-            acc += slab.astype(F32) * w_ref[tap, :][None, None, None, :]
+            acc += slab * w_ref[tap, :][None, None, None, :]
         o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
 
 
@@ -251,7 +254,7 @@ def _wgrad_kernel(x_hbm, g_hbm, o_ref, in_tile, g_tile, sem, *, tt, ht, w,
         h = s * sh
         gs = g_tile[:, pl.ds(h, sh), :, :].astype(F32)
         for tap, slab in _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
-            o_ref[tap, :] += jnp.sum(slab.astype(F32) * gs, axis=(0, 1, 2))
+            o_ref[tap, :] += jnp.sum(slab * gs, axis=(0, 1, 2))
 
 
 def _prep_lane_weights(w: jax.Array, c: int, p: int) -> jax.Array:
@@ -469,15 +472,15 @@ def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tile, sem, *, tt, ht, w2, lanes, p,
             acc_o = jnp.zeros((tt, w2, lanes), F32)
             for dy in range(3):
                 arr = _slot_select(_DX_PICKS[(dy, o)], slabs, p, lanes,
-                                   interpret)
+                                   interpret).astype(F32)
                 for dt in range(3):
                     a = arr[2 - dt:2 - dt + tt]      # g[t - dt + 1]
                     base = (dt * 3 + dy) * 3
-                    acc_e += (a[:, 8:8 + w2, :].astype(F32)
+                    acc_e += (a[:, 8:8 + w2, :]
                               * w_ref[base + 1, :][None, None, :])
-                    acc_o += (a[:, 9:9 + w2, :].astype(F32)
+                    acc_o += (a[:, 9:9 + w2, :]
                               * w_ref[base, :][None, None, :])
-                    acc_o += (a[:, 8:8 + w2, :].astype(F32)
+                    acc_o += (a[:, 8:8 + w2, :]
                               * w_ref[base + 2, :][None, None, :])
             o_ref[0, :, 2 * z + o, :, :] = _interleave_w(
                 acc_e.astype(o_ref.dtype), acc_o.astype(o_ref.dtype),
@@ -547,9 +550,10 @@ def _fwd_s2_direct_kernel(w_ref, x_hbm, o_ref, x_tile, sem, *, tt, ht, w2,
         for dy in range(3):
             arr = _slot_select(_WG_PICKS[dy], slabs, p, lanes, interpret)
             even, odd = _deinterleave_w(arr, interpret)
+            even, odd = even.astype(F32), odd.astype(F32)
             for dt in range(3):
-                ev = even[dt:dt + tt].astype(F32)
-                od = odd[dt:dt + tt].astype(F32)
+                ev = even[dt:dt + tt]
+                od = odd[dt:dt + tt]
                 base = (dt * 3 + dy) * 3
                 acc += od[:, 3:3 + w2, :] * w_ref[base, :][None, None, :]
                 acc += ev[:, 4:4 + w2, :] * w_ref[base + 1, :][None, None, :]
@@ -614,9 +618,10 @@ def _wgrad_s2_kernel(x_hbm, g_hbm, o_ref, x_tile, g_tile, sem, *, tt, ht, w2,
         for dy in range(3):
             arr = _slot_select(_WG_PICKS[dy], slabs, p, lanes, interpret)
             even, odd = _deinterleave_w(arr, interpret)  # (tt+2, w2+8, L)
+            even, odd = even.astype(F32), odd.astype(F32)
             for dt in range(3):
-                ev = even[dt:dt + tt].astype(F32)
-                od = odd[dt:dt + tt].astype(F32)
+                ev = even[dt:dt + tt]
+                od = odd[dt:dt + tt]
                 base = (dt * 3 + dy) * 3
                 o_ref[base, :] += jnp.sum(gs * od[:, 3:3 + w2, :],
                                           axis=(0, 1))
