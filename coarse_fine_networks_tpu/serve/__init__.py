@@ -1,0 +1,13 @@
+"""Serving: a continuous-batching scheduler around the joint Coarse-Fine
+inference pipeline.
+
+The reference has no serving story at all — its inference surface is the
+batch-1 validation loop inside ``train_coarse_fineFEAT.py:215-263``.  Here
+whole-video requests are queued, bucketed by padded length, batched up to a
+deadline and executed through one jitted program per bucket shape (the
+static-shape discipline that keeps XLA recompiles bounded).
+"""
+
+from .scheduler import InferenceRequest, VideoServer
+
+__all__ = ["InferenceRequest", "VideoServer"]
