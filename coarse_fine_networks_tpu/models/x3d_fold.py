@@ -30,7 +30,7 @@ from ..ops.fold import (
     refold_y2_to_y4,
     to_fold4,
 )
-from ..ops.pallas.dw_fold import fold_dw_conv3d
+from ..ops.pallas.dw_fold import fold_dw_bnrelu_conv3d, fold_dw_conv3d
 from .layers import kaiming_normal, round_width, swish
 from .x3d import _Conv1sParam, _Conv1x1Param
 
@@ -74,10 +74,19 @@ class FoldedSubBatchNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 scale_bias: bool = False):
+        """``scale_bias=True`` returns per-lane ``(sc, bi)`` f32 vectors such
+        that ``relu(x*sc + bi)`` equals ``relu(BN(x))`` — consumed by the
+        fused stencil kernels (:func:`..ops.pallas.dw_fold.
+        fold_dw_bnrelu_conv3d`) instead of materialising the normalized
+        tensor.  Running stats update exactly as in the normal path.  Only
+        expressible when training stats are batch-global (num_splits == 1)."""
         s, c = self.num_splits, self.features
         dtype = jnp.float32
         p = x.shape[-1] // FOLD
+        if scale_bias and train and s != 1:
+            raise ValueError("fused scale_bias needs num_splits == 1")
 
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), dtype))
@@ -90,6 +99,7 @@ class FoldedSubBatchNorm(nn.Module):
 
         orig_dtype = x.dtype
         xf = x.astype(dtype)
+        xn = None
 
         if train:
             n = xf.shape[0]
@@ -105,9 +115,11 @@ class FoldedSubBatchNorm(nn.Module):
                 mean = m_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
                 mean2 = m2_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
                 var = mean2 - jnp.square(mean)
-                mean_lane = pad_vec(mean[0], c, p, 0.0)
-                var_lane = pad_vec(var[0], c, p, 1.0)
-                xn = (xf - mean_lane) * jax.lax.rsqrt(var_lane + self.eps)
+                if not scale_bias:
+                    mean_lane = pad_vec(mean[0], c, p, 0.0)
+                    var_lane = pad_vec(var[0], c, p, 1.0)
+                    xn = (xf - mean_lane) * jax.lax.rsqrt(
+                        var_lane + self.eps)
             else:
                 xg = xf.reshape((n // s, s) + xf.shape[1:])
                 # per-split, per-lane moments over (group, t, Hb, w) ...
@@ -131,13 +143,28 @@ class FoldedSubBatchNorm(nn.Module):
                 m = self.momentum
                 sp_mean.value = (1 - m) * sp_mean.value + m * mean.reshape(-1)
                 sp_var.value = (1 - m) * sp_var.value + m * unbiased.reshape(-1)
+            mean_c, var_c = mean[0], var[0]
         else:
-            xn = (xf - pad_vec(ra_mean.value, c, p, 0.0)) * jax.lax.rsqrt(
-                pad_vec(ra_var.value, c, p, 1.0) + self.eps)
+            mean_c, var_c = ra_mean.value, ra_var.value
+            if not scale_bias:
+                xn = (xf - pad_vec(mean_c, c, p, 0.0)) * jax.lax.rsqrt(
+                    pad_vec(var_c, c, p, 1.0) + self.eps)
 
+        scale = bias = None
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (c,), dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), dtype)
+
+        if scale_bias:
+            sc_c = jax.lax.rsqrt(var_c + self.eps)
+            if scale is not None:
+                sc_c = sc_c * scale
+            bi_c = -mean_c * sc_c
+            if bias is not None:
+                bi_c = bi_c + bias
+            return pad_vec(sc_c, c, p, 0.0), pad_vec(bi_c, c, p, 0.0)
+
+        if self.affine:
             xn = xn * pad_vec(scale, c, p, 0.0) + pad_vec(bias, c, p, 0.0)
         return xn.astype(orig_dtype)
 
@@ -189,12 +216,19 @@ class FoldedBottleneck(nn.Module):
         w1 = _Conv1x1Param(c_in, c_mid, name="conv1")()
         out = fold_matmul(x, fold_pointwise_kernel(
             w1, c_in, c_mid, p_in=p_in).astype(x.dtype))
-        out = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn1")(out, train)
-        out = nn.relu(out)
-
         w2 = _KernelParam((3, 3, 3, 1, c_mid), name="conv2")()
-        out = fold_dw_conv3d(out, w2.astype(out.dtype), c_mid,
-                             stride=self.stride, impl=self.dw_impl)
+        bn1 = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn1")
+        if self.bn_splits == 1 or not train:
+            # bn1-apply + relu fused into the stencil kernels' tile load —
+            # the normalized full-res tensor is never materialised
+            sc, bi = bn1(out, train, scale_bias=True)
+            out = fold_dw_bnrelu_conv3d(out, w2.astype(out.dtype), sc, bi,
+                                        c_mid, stride=self.stride,
+                                        impl=self.dw_impl)
+        else:
+            out = nn.relu(bn1(out, train))
+            out = fold_dw_conv3d(out, w2.astype(out.dtype), c_mid,
+                                 stride=self.stride, impl=self.dw_impl)
         out = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn2")(out, train)
 
         if self.use_se:

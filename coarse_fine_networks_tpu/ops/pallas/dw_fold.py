@@ -98,15 +98,15 @@ def _pick_tiles(t: int, hb: int, w: int, lanes: int,
 
 def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
     """Zero the tile then fill body + T/H halo strips + corners from HBM.
-    Global edges keep the zeros (SAME conv padding)."""
+    Global edges keep the zeros (SAME conv padding).  All copies are started
+    before any wait so the DMA engines overlap (start+wait per copy
+    serialised them — measurable per-grid-step latency)."""
     t0 = ti * tt
     h0 = hi * ht
     in_tile[...] = jnp.zeros(in_tile.shape, in_tile.dtype)
 
     def cp(src, dst):
-        d = pltpu.make_async_copy(src, dst, sem)
-        d.start()
-        d.wait()
+        pltpu.make_async_copy(src, dst, sem).start()
 
     cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0, ht), :, :],
        in_tile.at[pl.ds(1, tt), pl.ds(1, ht), pl.ds(8, w), :])
@@ -150,6 +150,97 @@ def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
     def _():
         cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 + ht, 1), :, :],
            in_tile.at[pl.ds(tt + 1, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+    _wait_all(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+
+
+def _wait_all(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
+    """Wait for the copies started by :func:`_load_halo_tile` — the same
+    conditional structure so each started DMA gets exactly one wait."""
+    t0, h0 = ti * tt, hi * ht
+
+    def wt(src, dst):
+        pltpu.make_async_copy(src, dst, sem).wait()
+
+    wt(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0, ht), :, :],
+       in_tile.at[pl.ds(1, tt), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(ti > 0)
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0, ht), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(ti < n_t - 1)
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0, ht), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(1, ht), pl.ds(8, w), :])
+
+    @pl.when(hi > 0)
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(1, tt), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(hi < n_h - 1)
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0, tt), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(1, tt), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti > 0, hi > 0))
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti > 0, hi < n_h - 1))
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(0, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti < n_t - 1, hi > 0))
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 - 1, 1), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, w), :])
+
+    @pl.when(jnp.logical_and(ti < n_t - 1, hi < n_h - 1))
+    def _():
+        wt(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 + ht, 1), :, :],
+           in_tile.at[pl.ds(tt + 1, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
+
+
+def _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w,
+              has_bottom_halo=True):
+    """Apply the fused BN-apply+ReLU ``relu(x*sc + bi)`` to a loaded halo
+    tile in VMEM, then restore the zeros that SAME padding relies on: the W
+    pad columns always, and the T/H halo strips when they are global edges
+    (``bi`` would otherwise leak ``relu(bi)`` into the padding).  Pad lanes
+    have ``sc = bi = 0`` so they stay zero."""
+    t = in_tile[...]
+    a = jnp.maximum(
+        t.astype(F32) * sc_ref[...][(None,) * (t.ndim - 1)]
+        + bi_ref[...][(None,) * (t.ndim - 1)], 0.0)
+    in_tile[...] = a.astype(in_tile.dtype)
+    zeros_w = jnp.zeros(t.shape[:-2] + (8, t.shape[-1]), in_tile.dtype)
+    in_tile[..., 0:8, :] = zeros_w
+    in_tile[..., 8 + w:, :] = zeros_w[..., : t.shape[-2] - 8 - w, :]
+    nt_rows = t.shape[1]
+    zrow_t = jnp.zeros((1,) + t.shape[1:], in_tile.dtype)
+    zrow_h = jnp.zeros((t.shape[0], 1) + t.shape[2:], in_tile.dtype)
+
+    @pl.when(ti == 0)
+    def _():
+        in_tile[0:1] = zrow_t
+
+    @pl.when(ti == n_t - 1)
+    def _():
+        in_tile[t.shape[0] - 1:] = zrow_t
+
+    @pl.when(hi == 0)
+    def _():
+        in_tile[:, 0:1] = zrow_h
+
+    if has_bottom_halo:
+        @pl.when(hi == n_h - 1)
+        def _():
+            in_tile[:, nt_rows - 1:] = zrow_h
 
 
 def _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
@@ -203,10 +294,16 @@ def _s2_epilogue(acc, p, lanes, o_dtype, interpret):
     return out.astype(o_dtype)
 
 
-def _fwd_kernel(w_ref, x_hbm, o_ref, in_tile, sem, *, tt, ht, w, lanes, p,
-                n_t, n_h, interpret, stride2=False):
+def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, interpret,
+                stride2=False, act=False):
+    if act:
+        w_ref, sc_ref, bi_ref, x_hbm, o_ref, in_tile, sem = args
+    else:
+        w_ref, x_hbm, o_ref, in_tile, sem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+    if act:
+        _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
 
     if stride2:
         for s in range(ht // 2):
@@ -227,8 +324,12 @@ def _fwd_kernel(w_ref, x_hbm, o_ref, in_tile, sem, *, tt, ht, w, lanes, p,
         o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
 
 
-def _wgrad_kernel(x_hbm, g_hbm, o_ref, in_tile, g_tile, sem, *, tt, ht, w,
-                  lanes, p, n_t, n_h, interpret):
+def _wgrad_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, interpret,
+                  act=False):
+    if act:
+        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, in_tile, g_tile, sem = args
+    else:
+        x_hbm, g_hbm, o_ref, in_tile, g_tile, sem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     is_first = jnp.logical_and(
@@ -239,6 +340,8 @@ def _wgrad_kernel(x_hbm, g_hbm, o_ref, in_tile, g_tile, sem, *, tt, ht, w,
         o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
     _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+    if act:
+        _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
 
     def cpg():
         d = pltpu.make_async_copy(
@@ -264,21 +367,25 @@ def _prep_lane_weights(w: jax.Array, c: int, p: int) -> jax.Array:
     return jnp.tile(wt, (1, FOLD))
 
 
-def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
-                  ) -> jax.Array:
+def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
+                  sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     p = lanes // FOLD
+    act = sc is not None
     tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
     n_t, n_h = t // tt, hb // ht
 
     kernel = functools.partial(
         _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        interpret=interpret)
+        interpret=interpret, act=act)
+    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
+    ops = (w_lane, sc, bi, x) if act else (w_lane, x)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, lanes) weights
+            *vec,                                    # sc, bi per-lane vecs
             pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, tt, ht, w, lanes),
@@ -292,23 +399,27 @@ def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(w_lane, x)
+    )(*ops)
 
 
-def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool
-                        ) -> jax.Array:
+def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool,
+                        sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     p = lanes // FOLD
+    act = sc is not None
     tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
     n_t, n_h = t // tt, hb // ht
 
     kernel = functools.partial(
         _wgrad_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        interpret=interpret)
+        interpret=interpret, act=act)
+    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
+    ops = (sc, bi, x, g) if act else (x, g)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
+            *vec,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -323,7 +434,7 @@ def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, g)
+    )(*ops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -504,45 +615,55 @@ def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
     t0, h0 = ti * tt, hi * ht
     x_tile[...] = jnp.zeros(x_tile.shape, x_tile.dtype)
 
-    def cp(src, dst):
-        d = pltpu.make_async_copy(src, dst, sem)
-        d.start()
-        d.wait()
+    def mk(src, dst):
+        return pltpu.make_async_copy(src, dst, sem)
 
-    cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0, 2 * ht), :, :],
-       x_tile.at[pl.ds(1, tt), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
+    def pairs():
+        yield None, (x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0, 2 * ht), :, :],
+                     x_tile.at[pl.ds(1, tt), pl.ds(1, 2 * ht),
+                               pl.ds(8, wx), :])
+        yield hi > 0, (x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0 - 1, 1), :, :],
+                       x_tile.at[pl.ds(1, tt), pl.ds(0, 1), pl.ds(8, wx), :])
+        yield ti > 0, (x_hbm.at[b, pl.ds(t0 - 1, 1),
+                                pl.ds(2 * h0, 2 * ht), :, :],
+                       x_tile.at[pl.ds(0, 1), pl.ds(1, 2 * ht),
+                                 pl.ds(8, wx), :])
+        yield jnp.logical_and(ti > 0, hi > 0), (
+            x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(2 * h0 - 1, 1), :, :],
+            x_tile.at[pl.ds(0, 1), pl.ds(0, 1), pl.ds(8, wx), :])
+        yield ti < n_t - 1, (x_hbm.at[b, pl.ds(t0 + tt, 1),
+                                      pl.ds(2 * h0, 2 * ht), :, :],
+                             x_tile.at[pl.ds(tt + 1, 1), pl.ds(1, 2 * ht),
+                                       pl.ds(8, wx), :])
+        yield jnp.logical_and(ti < n_t - 1, hi > 0), (
+            x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(2 * h0 - 1, 1), :, :],
+            x_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, wx), :])
 
-    @pl.when(hi > 0)
-    def _():
-        cp(x_hbm.at[b, pl.ds(t0, tt), pl.ds(2 * h0 - 1, 1), :, :],
-           x_tile.at[pl.ds(1, tt), pl.ds(0, 1), pl.ds(8, wx), :])
-
-    @pl.when(ti > 0)
-    def _():
-        cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(2 * h0, 2 * ht), :, :],
-           x_tile.at[pl.ds(0, 1), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
-        @pl.when(hi > 0)
-        def _():
-            cp(x_hbm.at[b, pl.ds(t0 - 1, 1), pl.ds(2 * h0 - 1, 1), :, :],
-               x_tile.at[pl.ds(0, 1), pl.ds(0, 1), pl.ds(8, wx), :])
-
-    @pl.when(ti < n_t - 1)
-    def _():
-        cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(2 * h0, 2 * ht), :, :],
-           x_tile.at[pl.ds(tt + 1, 1), pl.ds(1, 2 * ht), pl.ds(8, wx), :])
-        @pl.when(hi > 0)
-        def _():
-            cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(2 * h0 - 1, 1), :, :],
-               x_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, wx), :])
+    # start everything, then wait — the DMA engines overlap the transfers
+    for phase in ("start", "wait"):
+        for cond, (src, dst) in pairs():
+            if cond is None:
+                getattr(mk(src, dst), phase)()
+            else:
+                @pl.when(cond)
+                def _(src=src, dst=dst):
+                    getattr(mk(src, dst), phase)()
 
 
-def _fwd_s2_direct_kernel(w_ref, x_hbm, o_ref, x_tile, sem, *, tt, ht, w2,
-                          lanes, p, n_t, n_h, interpret):
+def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, interpret,
+                          act=False):
     """Stride-(1,2,2) forward computing ONLY the kept quarter of positions:
     y[t,m,n] = Σ w[dt,dy,dxx]·x[t+dt-1, 2m+dy-1, 2n+dxx-1] — the full-res
     stencil + fused subsample wastes 4x the (VPU-bound) tap MACs."""
+    if act:
+        w_ref, sc_ref, bi_ref, x_hbm, o_ref, x_tile, sem = args
+    else:
+        w_ref, x_hbm, o_ref, x_tile, sem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+    if act:
+        _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
+                  has_bottom_halo=False)
 
     for z in range(ht):
         slabs = {d: x_tile[:, 2 * z + d, :, :] for d in range(3)}
@@ -561,21 +682,25 @@ def _fwd_s2_direct_kernel(w_ref, x_hbm, o_ref, x_tile, sem, *, tt, ht, w2,
         o_ref[0, :, z, :, :] = acc.astype(o_ref.dtype)
 
 
-def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
-                       ) -> jax.Array:
+def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
+                       sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     hb2, w2 = hb // 2, w // 2
     p = lanes // FOLD
+    act = sc is not None
     tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, x.dtype.itemsize)
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _fwd_s2_direct_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p,
-        n_t=n_t, n_h=n_h, interpret=interpret)
+        n_t=n_t, n_h=n_h, interpret=interpret, act=act)
+    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
+    ops = (w_lane, sc, bi, x) if act else (w_lane, x)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            *vec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, tt, ht, w2, lanes),
@@ -589,11 +714,15 @@ def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(w_lane, x)
+    )(*ops)
 
 
-def _wgrad_s2_kernel(x_hbm, g_hbm, o_ref, x_tile, g_tile, sem, *, tt, ht, w2,
-                     lanes, p, n_t, n_h, interpret):
+def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, interpret,
+                     act=False):
+    if act:
+        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tile, g_tile, sem = args
+    else:
+        x_hbm, g_hbm, o_ref, x_tile, g_tile, sem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     t0, h0 = ti * tt, hi * ht
 
@@ -604,6 +733,9 @@ def _wgrad_s2_kernel(x_hbm, g_hbm, o_ref, x_tile, g_tile, sem, *, tt, ht, w2,
         o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
     _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+    if act:
+        _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
+                  has_bottom_halo=False)
 
     def cp(src, dst):
         d = pltpu.make_async_copy(src, dst, sem)
@@ -685,18 +817,23 @@ def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
     )(w_lane, g)
 
 
-def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool) -> jax.Array:
+def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool,
+                  sc=None, bi=None) -> jax.Array:
     b, t, hb2, w2, lanes = g.shape
     p = lanes // FOLD
+    act = sc is not None
     tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize)
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _wgrad_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
-        n_h=n_h, interpret=interpret)
+        n_h=n_h, interpret=interpret, act=act)
+    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
+    ops = (sc, bi, x, g) if act else (x, g)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
+            *vec,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -711,7 +848,7 @@ def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, g)
+    )(*ops)
 
 
 def _zero_upsample_fold(g: jax.Array) -> jax.Array:
@@ -823,3 +960,75 @@ def fold_dw_conv3d(x: jax.Array, w: jax.Array, c: int,
     y = depthwise_conv3d(y, w.astype(y.dtype), (1, stride, stride),
                          impl="lax")
     return to_fold4(y, fold_pad(c))
+
+
+# ---- fused BN-apply + ReLU + depthwise conv --------------------------------
+#
+# y = dw_conv(relu(x*sc + bi)) with sc/bi per-lane f32 vectors (pad lanes
+# zero).  The activation is applied to each loaded tile inside the forward
+# and wgrad kernels — the separately-materialised bn1 apply pass (and the
+# layout copies XLA inserts around it next to the custom-calls) disappears.
+# Backward w.r.t. (x, sc, bi) is one fused XLA elementwise+reduce pass over
+# (da, x); da comes from the existing dx kernels.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def dw_fold4_act(x: jax.Array, w: jax.Array, sc: jax.Array, bi: jax.Array,
+                 c: int, stride: int = 1, interpret: bool = False
+                 ) -> jax.Array:
+    p = x.shape[-1] // FOLD
+    w_lane = _prep_lane_weights(w, c, p)
+    if stride == 1:
+        return _dw_fold4_raw(x, w_lane, interpret, sc=sc, bi=bi)
+    return _fwd_s2_direct_raw(x, w_lane, interpret, sc=sc, bi=bi)
+
+
+def _dw_act_fwd(x, w, sc, bi, c, stride, interpret):
+    return dw_fold4_act(x, w, sc, bi, c, stride, interpret), (x, w, sc, bi)
+
+
+def _dw_act_bwd(c, stride, interpret, res, g):
+    x, w, sc, bi = res
+    p = x.shape[-1] // FOLD
+    if stride == 1:
+        w_flip = jnp.flip(w, axis=(0, 1, 2))
+        da = _dw_fold4_raw(g, _prep_lane_weights(w_flip, c, p), interpret)
+        dk_lane = _dw_fold4_wgrad_raw(x, g, interpret, sc=sc, bi=bi)
+    else:
+        da = _dx_s2_raw(g, _prep_lane_weights(w, c, p), interpret)
+        dk_lane = _wgrad_s2_raw(x, g, interpret, sc=sc, bi=bi)
+    dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
+    dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+    # one fused elementwise+reduce pass: mask from the pre-activation
+    xf = x.astype(F32)
+    m = (xf * sc + bi) > 0
+    dam = jnp.where(m, da.astype(F32), 0.0)
+    dx = (dam * sc).astype(x.dtype)
+    dsc = jnp.sum(dam * xf, axis=(0, 1, 2, 3))
+    dbi = jnp.sum(dam, axis=(0, 1, 2, 3))
+    return dx, dk, dsc, dbi
+
+
+dw_fold4_act.defvjp(_dw_act_fwd, _dw_act_bwd)
+
+
+def fold_dw_bnrelu_conv3d(x: jax.Array, w: jax.Array, sc: jax.Array,
+                          bi: jax.Array, c: int, stride: int = 1,
+                          impl: str = "auto") -> jax.Array:
+    """Dispatcher for the fused bn-apply+relu+depthwise conv.
+
+    Same impl semantics as :func:`fold_dw_conv3d`; non-kernel paths apply the
+    activation with XLA and fall through to the unfused conv (identical
+    math)."""
+    if impl == "auto":
+        impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
+    if impl == "mixed":
+        if stride == 1:
+            ok = x.shape[3] % 8 == 0
+        else:
+            ok = x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)
+        impl = "pallas" if ok else "sandwich"
+    if impl in ("pallas", "interpret"):
+        return dw_fold4_act(x, w, sc, bi, c, stride, impl == "interpret")
+    a = jnp.maximum(x.astype(F32) * sc + bi, 0.0).astype(x.dtype)
+    return fold_dw_conv3d(a, w, c, stride=stride, impl=impl)

@@ -29,6 +29,7 @@ from .common import (
     load_pretrained,
     maybe_resume,
     model_batch,
+    preemption_guard,
     save_train_state,
 )
 from .config import DriverConfig
@@ -93,6 +94,17 @@ def _chunked_logits(apply_fn, variables, mb, t_lim: int):
 
 
 def run(cfg: DriverConfig) -> Dict[str, float]:
+    """Preemption/crash-guarded driver entry: any interruption (SIGTERM
+    from a preempted host, OOM, assertion) checkpoints the latest step
+    before propagating, and ``maybe_resume`` continues from it on restart
+    (aux failure-recovery subsystem; the reference loses everything since
+    its last manual 1000-step save)."""
+    state_box = {"state": None, "sched": None}
+    with preemption_guard(cfg, "coarse_fineFEAT_charades", state_box):
+        return _run_impl(cfg, state_box)
+
+
+def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     assert cfg.fine_feat_dir, "coarse training needs fine_feat_dir"
@@ -125,6 +137,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
     state = TrainState.create(variables)
     sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
                               warmup_steps=cfg.warmup_steps)
+    state_box["sched"] = sched
     state = maybe_resume(cfg, "coarse_fineFEAT_charades", state, sched)
 
     mesh = None
@@ -164,6 +177,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                     state, metrics = train_step(
                         state, mb, jnp.asarray(lr_val, jnp.float32), key,
                         jnp.asarray(lr_f, jnp.float32))
+                    state_box["state"] = state
                     tot["loss"] += float(metrics["loss"])
                     tot["n"] += 1
                     _add_ap_batches(

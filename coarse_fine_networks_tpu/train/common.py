@@ -3,6 +3,7 @@ restore, BN aggregation."""
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Dict
 
@@ -153,6 +154,44 @@ def load_pretrained(variables: Dict, path: str, model_kind: str) -> Dict:
                                    model_vars["batch_stats"],
                                    strict_shapes=False),
     }
+
+
+@contextlib.contextmanager
+def preemption_guard(cfg: DriverConfig, prefix: str, state_ref: dict):
+    """Preemption/crash-safe training (aux subsystem — the reference loses
+    everything since the last manual 1000-step save on any interruption).
+
+    SIGTERM (the cloud-preemption signal) is converted into a SystemExit,
+    and any exception escaping the guarded block triggers an immediate
+    checkpoint of the latest step held in ``state_ref['state']`` before the
+    error propagates; ``maybe_resume`` then continues from it on restart.
+    """
+    installed = False
+    try:
+        import signal
+
+        def handler(signum, frame):
+            raise SystemExit(128 + signum)
+
+        old = signal.signal(signal.SIGTERM, handler)
+        installed = True
+    except ValueError:       # not the main thread (e.g. driver under a test)
+        pass
+    try:
+        yield
+    except BaseException:
+        state = state_ref.get("state")
+        if state is not None and state_ref.get("sched") is not None:
+            try:
+                path = save_train_state(cfg, prefix, state,
+                                        state_ref["sched"])
+                log.warning("preemption/crash checkpoint saved: %s", path)
+            except Exception:
+                log.exception("failed to save preemption checkpoint")
+        raise
+    finally:
+        if installed:
+            signal.signal(signal.SIGTERM, old)
 
 
 def save_train_state(cfg: DriverConfig, prefix: str, state: TrainState,

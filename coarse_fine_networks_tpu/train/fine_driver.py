@@ -35,6 +35,7 @@ from .common import (
     load_pretrained,
     maybe_resume,
     model_batch,
+    preemption_guard,
     save_train_state,
 )
 from .config import DriverConfig
@@ -115,6 +116,17 @@ def _add_ap_batches(apm: APMeter, probs: np.ndarray, host_batches) -> None:
 
 
 def run(cfg: DriverConfig) -> Dict[str, float]:
+    """Preemption/crash-guarded driver entry: any interruption (SIGTERM
+    from a preempted host, OOM, assertion) checkpoints the latest step
+    before propagating, and ``maybe_resume`` continues from it on restart
+    (aux failure-recovery subsystem; the reference loses everything since
+    its last manual 1000-step save)."""
+    state_box = {"state": None, "sched": None}
+    with preemption_guard(cfg, "fine_charades", state_box):
+        return _run_impl(cfg, state_box)
+
+
+def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     train_loader, val_loader = build_fine_loaders(cfg)
@@ -138,6 +150,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
     state = TrainState.create(variables)
     sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
                               warmup_steps=cfg.warmup_steps)
+    state_box["sched"] = sched
     state = maybe_resume(cfg, "fine_charades", state, sched)
 
     mesh = None
@@ -208,6 +221,7 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
                         train_loader, cfg, mesh, batch_size=cur_bs):
                     lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
                     state, metrics = train_step(state, mb, lr, key)
+                    state_box["state"] = state
                     tot["loss"] += float(metrics["loss"])
                     tot["cls"] += float(metrics["cls_loss"])
                     tot["loc"] += float(metrics["loc_loss"])

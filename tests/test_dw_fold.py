@@ -94,3 +94,39 @@ def test_sandwich_matches_interpret():
     np.testing.assert_allclose(np.asarray(from_fold4(a, C)),
                                np.asarray(from_fold4(b, C)),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_dw_fold4_act_fused_matches_unfused(stride):
+    """Fused bn-apply+relu+conv (fwd and custom VJP) == relu(x*sc+bi) →
+    conv, including grads w.r.t. x, k, sc and bi."""
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+        fold_dw_bnrelu_conv3d,
+    )
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 4, 16, 16, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    from coarse_fine_networks_tpu.ops.fold import fold_pad, pad_vec
+
+    p = fold_pad(C)
+    sc = pad_vec(jnp.asarray(rng.rand(C) + 0.5, jnp.float32), C, p, 0.0)
+    bi = pad_vec(jnp.asarray(rng.randn(C), jnp.float32), C, p, 0.0)
+
+    def loss_fused(x, k, sc, bi):
+        y = fold_dw_bnrelu_conv3d(to_fold4(x), k, sc, bi, C, stride=stride,
+                                  impl="interpret")
+        return jnp.sum(from_fold4(y, C) ** 2)
+
+    def loss_ref(x, k, sc, bi):
+        a = jnp.maximum(to_fold4(x) * sc + bi, 0.0)
+        return jnp.sum(_dwref(from_fold4(a, C), k, (1, stride, stride)) ** 2)
+
+    args = (x, k, sc, bi)
+    np.testing.assert_allclose(float(loss_fused(*args)),
+                               float(loss_ref(*args)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(gf, gr, ("dx", "dk", "dsc", "dbi")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
