@@ -96,14 +96,25 @@ def _pick_tiles(t: int, hb: int, w: int, lanes: int,
     return best
 
 
-def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
-    """Zero the tile then fill body + T/H halo strips + corners from HBM.
-    Global edges keep the zeros (SAME conv padding).  All copies are started
-    before any wait so the DMA engines overlap (start+wait per copy
-    serialised them — measurable per-grid-step latency)."""
+def _zero_frame(in_tile):
+    """Zero only the halo frame — the body is overwritten by the DMA."""
+    sh = in_tile.shape
+    in_tile[0:1] = jnp.zeros((1,) + sh[1:], in_tile.dtype)
+    in_tile[sh[0] - 1:] = jnp.zeros((1,) + sh[1:], in_tile.dtype)
+    in_tile[1:sh[0] - 1, 0:1] = jnp.zeros((sh[0] - 2, 1) + sh[2:],
+                                          in_tile.dtype)
+    in_tile[1:sh[0] - 1, sh[1] - 1:] = jnp.zeros((sh[0] - 2, 1) + sh[2:],
+                                                 in_tile.dtype)
+    zw = jnp.zeros((sh[0] - 2, sh[1] - 2, 8, sh[3]), in_tile.dtype)
+    in_tile[1:sh[0] - 1, 1:sh[1] - 1, 0:8] = zw
+    in_tile[1:sh[0] - 1, 1:sh[1] - 1, sh[2] - 8:] = zw
+
+
+def _start_loads(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
+    """Start the body + halo-strip + corner copies (no waits — the DMA
+    engines overlap; :func:`_wait_all` drains them)."""
     t0 = ti * tt
     h0 = hi * ht
-    in_tile[...] = jnp.zeros(in_tile.shape, in_tile.dtype)
 
     def cp(src, dst):
         pltpu.make_async_copy(src, dst, sem).start()
@@ -151,6 +162,12 @@ def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
         cp(x_hbm.at[b, pl.ds(t0 + tt, 1), pl.ds(h0 + ht, 1), :, :],
            in_tile.at[pl.ds(tt + 1, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
 
+
+def _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
+    """Zero the halo frame, start all copies, wait (SAME padding at global
+    edges comes from the zeros)."""
+    _zero_frame(in_tile)
+    _start_loads(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
     _wait_all(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
 
 
@@ -294,14 +311,57 @@ def _s2_epilogue(acc, p, lanes, o_dtype, interpret):
     return out.astype(o_dtype)
 
 
-def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, interpret,
+def _halo_io(x_hbm, tile, sem, b, ti, hi, tt, ht, w, n_t, n_h, phases):
+    if "start" in phases:
+        _start_loads(x_hbm, tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+    if "wait" in phases:
+        _wait_all(x_hbm, tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+
+
+def _prefetch_pipeline(g, n_b, n_t, n_h, tiles, sems, zero_fn, io_fn):
+    """Two-slot cross-grid-step prefetch: at step ``g`` start the loads for
+    step ``g+1`` into the other slot before waiting on this step's — the DMA
+    hides behind the (VPU-bound) tap loop.  ``io_fn(tile, sem, b, ti, hi,
+    phases)`` starts and/or waits the copies; returns the current tile ref."""
+    total = n_b * n_t * n_h
+    slot = jax.lax.rem(g, 2)
+    nslot = 1 - slot
+    b, r = g // (n_t * n_h), g % (n_t * n_h)
+    ti, hi = r // n_h, r % n_h
+
+    @pl.when(g == 0)
+    def _():
+        zero_fn(tiles.at[slot])
+        io_fn(tiles.at[slot], sems.at[slot], b, ti, hi, ("start",))
+
+    @pl.when(g + 1 < total)
+    def _():
+        g1 = g + 1
+        b2, r2 = g1 // (n_t * n_h), g1 % (n_t * n_h)
+        zero_fn(tiles.at[nslot])
+        io_fn(tiles.at[nslot], sems.at[nslot], b2, r2 // n_h, r2 % n_h,
+              ("start",))
+
+    io_fn(tiles.at[slot], sems.at[slot], b, ti, hi, ("wait",))
+    return tiles.at[slot]
+
+
+def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
                 stride2=False, act=False):
+    """Stride-1 stencil with a two-slot pipelined input tile: each grid step
+    prefetches the NEXT step's haloed tile while computing the current one,
+    hiding the DMA latency behind the (VPU-bound) tap loop."""
     if act:
-        w_ref, sc_ref, bi_ref, x_hbm, o_ref, in_tile, sem = args
+        w_ref, sc_ref, bi_ref, x_hbm, o_ref, tiles, sem2, = args
     else:
-        w_ref, x_hbm, o_ref, in_tile, sem = args
+        w_ref, x_hbm, o_ref, tiles, sem2 = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+    g = (b * n_t + ti) * n_h + hi
+    io = functools.partial(_halo_io, x_hbm, tt=tt, ht=ht, w=w, n_t=n_t,
+                           n_h=n_h)
+    in_tile = _prefetch_pipeline(
+        g, n_b, n_t, n_h, tiles, sem2, _zero_frame,
+        lambda tile, sm, b2, t2, h2, ph: io(tile, sm, b2, t2, h2, phases=ph))
     if act:
         _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
 
@@ -324,33 +384,37 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, interpret,
         o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
 
 
-def _wgrad_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, interpret,
+def _wgrad_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
                   act=False):
     if act:
-        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, in_tile, g_tile, sem = args
+        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem \
+            = args
     else:
-        x_hbm, g_hbm, o_ref, in_tile, g_tile, sem = args
+        x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    g_idx = (b * n_t + ti) * n_h + hi
 
-    is_first = jnp.logical_and(
-        b == 0, jnp.logical_and(ti == 0, hi == 0))
-
-    @pl.when(is_first)
+    @pl.when(g_idx == 0)
     def _():
         o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
-    _load_halo_tile(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h)
+    def g_io(tile, sm, b2, t2, h2, phases):
+        d = pltpu.make_async_copy(
+            g_hbm.at[b2, pl.ds(t2 * tt, tt), pl.ds(h2 * ht, ht), :, :],
+            tile, sm)
+        if "start" in phases:
+            d.start()
+        if "wait" in phases:
+            d.wait()
+
+    in_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, x_tiles, xsem, _zero_frame,
+        lambda tile, sm, b2, t2, h2, ph: _halo_io(
+            x_hbm, tile, sm, b2, t2, h2, tt, ht, w, n_t, n_h, ph))
+    g_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, g_tiles, gsem, lambda t: None, g_io)
     if act:
         _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
-
-    def cpg():
-        d = pltpu.make_async_copy(
-            g_hbm.at[b, pl.ds(ti * tt, tt), pl.ds(hi * ht, ht), :, :],
-            g_tile, sem)
-        d.start()
-        d.wait()
-
-    cpg()
 
     sh = _strip(ht)
     for s in range(ht // sh):
@@ -377,7 +441,7 @@ def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
 
     kernel = functools.partial(
         _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        interpret=interpret, act=act)
+        n_b=b, interpret=interpret, act=act)
     vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
     ops = (w_lane, sc, bi, x) if act else (w_lane, x)
     return pl.pallas_call(
@@ -393,8 +457,8 @@ def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -412,7 +476,7 @@ def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool,
 
     kernel = functools.partial(
         _wgrad_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        interpret=interpret, act=act)
+        n_b=b, interpret=interpret, act=act)
     vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
     ops = (sc, bi, x, g) if act else (x, g)
     return pl.pallas_call(
@@ -427,9 +491,10 @@ def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
-            pltpu.VMEM((tt, ht, w, lanes), g.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt, ht, w, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -481,7 +546,7 @@ def _dw_fold4_s2_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
 
     kernel = functools.partial(
         _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        interpret=interpret, stride2=True)
+        n_b=b, interpret=interpret, stride2=True)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
@@ -495,8 +560,8 @@ def _dw_fold4_s2_raw(x: jax.Array, w_lane: jax.Array, interpret: bool
         out_shape=jax.ShapeDtypeStruct((b, t, hb // 2, w // 2, lanes),
                                        x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -571,10 +636,14 @@ _DX_PICKS = {
 }
 
 
-def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tile, sem, *, tt, ht, w2, lanes, p,
-                  n_t, n_h, interpret):
+def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tiles, sem2, *, tt, ht, w2, lanes,
+                  p, n_t, n_h, n_b, interpret):
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    _load_halo_tile(g_hbm, g_tile, sem, b, ti, hi, tt, ht, w2, n_t, n_h)
+    g_idx = (b * n_t + ti) * n_h + hi
+    g_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, g_tiles, sem2, _zero_frame,
+        lambda tile, sm, b2, t2, h2, ph: _halo_io(
+            g_hbm, tile, sm, b2, t2, h2, tt, ht, w2, n_t, n_h, ph))
 
     for z in range(ht):
         slabs = {0: g_tile[:, 1 + z, :, :], 1: g_tile[:, 2 + z, :, :]}
@@ -608,12 +677,21 @@ _WG_PICKS = {
 }
 
 
-def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
-    """Load the full-res x window backing half-res block rows
-    [hi*ht, hi*ht+ht): x tile row j holds x block ``2*hi*ht - 1 + j`` (j=0 is
-    the above-halo row needed by the dy=0 taps), with T halo ±1."""
+def _zero_frame_x2(x_tile):
+    sh = x_tile.shape
+    x_tile[0:1] = jnp.zeros((1,) + sh[1:], x_tile.dtype)
+    x_tile[sh[0] - 1:] = jnp.zeros((1,) + sh[1:], x_tile.dtype)
+    x_tile[1:sh[0] - 1, 0:1] = jnp.zeros((sh[0] - 2, 1) + sh[2:],
+                                         x_tile.dtype)
+    zw = jnp.zeros((sh[0] - 2, sh[1] - 1, 8, sh[3]), x_tile.dtype)
+    x_tile[1:sh[0] - 1, 1:, 0:8] = zw
+    x_tile[1:sh[0] - 1, 1:, sh[2] - 8:] = zw
+
+
+def _x2_io(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h, phases):
+    """Start and/or wait the x2-window copies (see pairs below); ``phases``
+    is a subset of ("start", "wait")."""
     t0, h0 = ti * tt, hi * ht
-    x_tile[...] = jnp.zeros(x_tile.shape, x_tile.dtype)
 
     def mk(src, dst):
         return pltpu.make_async_copy(src, dst, sem)
@@ -640,27 +718,40 @@ def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
             x_tile.at[pl.ds(tt + 1, 1), pl.ds(0, 1), pl.ds(8, wx), :])
 
     # start everything, then wait — the DMA engines overlap the transfers
-    for phase in ("start", "wait"):
+    for phase in phases:
         for cond, (src, dst) in pairs():
             if cond is None:
                 getattr(mk(src, dst), phase)()
             else:
                 @pl.when(cond)
-                def _(src=src, dst=dst):
+                def _(src=src, dst=dst, phase=phase):
                     getattr(mk(src, dst), phase)()
 
 
-def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, interpret,
-                          act=False):
+def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
+    """Load the full-res x window backing half-res block rows
+    [hi*ht, hi*ht+ht): x tile row j holds x block ``2*hi*ht - 1 + j`` (j=0
+    is the above-halo row needed by the dy=0 taps), with T halo ±1."""
+    _zero_frame_x2(x_tile)
+    _x2_io(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h,
+           ("start", "wait"))
+
+
+def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b,
+                          interpret, act=False):
     """Stride-(1,2,2) forward computing ONLY the kept quarter of positions:
     y[t,m,n] = Σ w[dt,dy,dxx]·x[t+dt-1, 2m+dy-1, 2n+dxx-1] — the full-res
     stencil + fused subsample wastes 4x the (VPU-bound) tap MACs."""
     if act:
-        w_ref, sc_ref, bi_ref, x_hbm, o_ref, x_tile, sem = args
+        w_ref, sc_ref, bi_ref, x_hbm, o_ref, x_tiles, sem2 = args
     else:
-        w_ref, x_hbm, o_ref, x_tile, sem = args
+        w_ref, x_hbm, o_ref, x_tiles, sem2 = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+    g_idx = (b * n_t + ti) * n_h + hi
+    x_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, x_tiles, sem2, _zero_frame_x2,
+        lambda tile, sm, b2, t2, h2, ph: _x2_io(
+            x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
     if act:
         _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
                   has_bottom_halo=False)
@@ -692,7 +783,7 @@ def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _fwd_s2_direct_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p,
-        n_t=n_t, n_h=n_h, interpret=interpret, act=act)
+        n_t=n_t, n_h=n_h, n_b=b, interpret=interpret, act=act)
     vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
     ops = (w_lane, sc, bi, x) if act else (w_lane, x)
     return pl.pallas_call(
@@ -708,8 +799,8 @@ def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, hb2, w2, lanes), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, 2 * ht + 1, w + 16, lanes), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, w + 16, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -717,32 +808,38 @@ def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
     )(*ops)
 
 
-def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, interpret,
+def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
                      act=False):
     if act:
-        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tile, g_tile, sem = args
+        sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem \
+            = args
     else:
-        x_hbm, g_hbm, o_ref, x_tile, g_tile, sem = args
+        x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    t0, h0 = ti * tt, hi * ht
+    g_idx = (b * n_t + ti) * n_h + hi
 
-    is_first = jnp.logical_and(b == 0, jnp.logical_and(ti == 0, hi == 0))
-
-    @pl.when(is_first)
+    @pl.when(g_idx == 0)
     def _():
         o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
-    _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, 2 * w2, n_t, n_h)
+    def g_io(tile, sm, b2, t2, h2, phases):
+        d = pltpu.make_async_copy(
+            g_hbm.at[b2, pl.ds(t2 * tt, tt), pl.ds(h2 * ht, ht), :, :],
+            tile, sm)
+        if "start" in phases:
+            d.start()
+        if "wait" in phases:
+            d.wait()
+
+    x_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, x_tiles, xsem, _zero_frame_x2,
+        lambda tile, sm, b2, t2, h2, ph: _x2_io(
+            x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
+    g_tile = _prefetch_pipeline(
+        g_idx, n_b, n_t, n_h, g_tiles, gsem, lambda t: None, g_io)
     if act:
         _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
                   has_bottom_halo=False)
-
-    def cp(src, dst):
-        d = pltpu.make_async_copy(src, dst, sem)
-        d.start()
-        d.wait()
-
-    cp(g_hbm.at[b, pl.ds(t0, tt), pl.ds(h0, ht), :, :], g_tile)
 
     for z in range(ht):
         gs = g_tile[:, z, :, :].astype(F32)           # (tt, w2, L)
@@ -794,7 +891,7 @@ def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _dx_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
-        n_h=n_h, interpret=interpret)
+        n_h=n_h, n_b=b, interpret=interpret)
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
@@ -808,8 +905,8 @@ def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((b, t, 2 * hb2, 2 * w2, lanes),
                                        g.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, ht + 2, w2 + 16, lanes), g.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, ht + 2, w2 + 16, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -826,7 +923,7 @@ def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool,
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _wgrad_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
-        n_h=n_h, interpret=interpret, act=act)
+        n_h=n_h, n_b=b, interpret=interpret, act=act)
     vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
     ops = (sc, bi, x, g) if act else (x, g)
     return pl.pallas_call(
@@ -841,9 +938,10 @@ def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
         scratch_shapes=[
-            pltpu.VMEM((tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes), x.dtype),
-            pltpu.VMEM((tt, ht, w2, lanes), g.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt, ht, w2, lanes), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
