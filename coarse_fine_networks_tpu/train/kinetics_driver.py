@@ -1,0 +1,191 @@
+"""Kinetics-style pretraining driver (clip-level single-label classification).
+
+The reference's transfer recipe starts from an already-pretrained Kinetics
+X3D checkpoint (``train_fine.py:104-107``) but ships no pretraining code.
+This driver trains :class:`..models.FineNet` with ``task='class'`` (global
+average pooling over T×H×W, ``x3d_fine.py:252-253``) under softmax
+cross-entropy, and saves checkpoints that ``DriverConfig.kinetics_ckpt``
+partial-restores into the detection drivers (the 400→157 head swap —
+``replace_logits``, ``train_fine.py:111``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.kinetics import KineticsDataset, collate_kinetics
+from ..data.loader import PrefetchLoader
+from ..models import FineNet
+from ..utils import get_logger
+from .common import preemption_guard, prepare_clips, save_train_state
+from .common import maybe_resume
+from .config import DriverConfig
+from .fine_driver import build_transforms
+from .optim import MultiStepSchedule, sgd_update
+from .state import TrainState
+from .steps import bn_aggregated, jit_cache_size
+
+log = get_logger()
+
+PREFIX = "kinetics_x3d"
+
+
+def _class_batch(batch, dtype=jnp.float32):
+    return {
+        "clips": prepare_clips(batch, train=True, dtype=dtype),
+        "labels": jnp.asarray(batch["labels"]),
+    }
+
+
+def make_class_train_step(model, momentum: float = 0.9,
+                          weight_decay: float = 5e-5):
+    """Jitted softmax-CE train step (fwd+bwd+SGD+BN update in one program)."""
+
+    def step(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            logits = logits[:, 0].astype(jnp.float32)   # (B, n_classes)
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(logp, batch["labels"][:, None],
+                                      axis=1)[:, 0]
+            return ce.mean(), (upd["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_params, new_opt = sgd_update(
+            state.params, grads, state.opt, lr, momentum=momentum,
+            weight_decay=weight_decay)
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=1) == batch["labels"]).astype(
+                jnp.float32))
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_class_eval_step(model):
+    def step(state: TrainState, batch):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["clips"], False)
+        logits = logits[:, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.take_along_axis(logp, batch["labels"][:, None], axis=1)[:, 0]
+        acc = (jnp.argmax(logits, axis=1) == batch["labels"]).astype(
+            jnp.float32)
+        return {"loss": ce.mean(), "acc": acc.mean()}
+
+    return jax.jit(step)
+
+
+def run(cfg: DriverConfig) -> Dict[str, float]:
+    """Preemption-guarded pretraining loop; ``cfg.anno`` points at the
+    Kinetics-style JSON (see ``data/kinetics.py``)."""
+    state_box = {"state": None, "sched": None}
+    with preemption_guard(cfg, PREFIX, state_box):
+        return _run_impl(cfg, state_box)
+
+
+def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
+    train_t, val_t = build_transforms(cfg)
+    common = dict(frames=cfg.frames, gamma_tau=cfg.gamma_tau,
+                  min_frames=cfg.min_frames, crop_size=cfg.crop_size)
+    train_ds = KineticsDataset(cfg.anno, "training", cfg.root,
+                               spatial_transform=train_t, **common)
+    val_ds = KineticsDataset(cfg.anno, "validation", cfg.root,
+                             spatial_transform=val_t, **common)
+    log.info("kinetics train %d val %d videos", len(train_ds), len(val_ds))
+
+    collate = lambda b: collate_kinetics(b, cfg.pad_t_multiple)  # noqa: E731
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
+    train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
+                                  shuffle=True, num_workers=cfg.num_workers,
+                                  prefetch=cfg.prefetch, drop_last=True,
+                                  seed=cfg.seed, shard=shard)
+    val_loader = PrefetchLoader(val_ds, cfg.val_batch_size or cfg.batch_size,
+                                collate, shuffle=False,
+                                num_workers=cfg.num_workers)
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    model = FineNet(version=cfg.x3d_version, n_classes=cfg.num_classes,
+                    task="class", dropout_rate=cfg.dropout,
+                    bn_splits=cfg.base_bn_splits, compute_dtype=dtype,
+                    remat=cfg.remat)
+    sample = next(iter(val_loader) if len(val_ds) else iter(train_loader))
+    init_clips = _class_batch(sample, dtype)["clips"][:1]
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(cfg.seed)},
+                           init_clips, False))()
+    state = TrainState.create(variables)
+    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
+                              warmup_steps=cfg.warmup_steps)
+    state_box["sched"] = sched
+    state = maybe_resume(cfg, PREFIX, state, sched)
+
+    train_step = make_class_train_step(model, momentum=cfg.momentum,
+                                       weight_decay=cfg.weight_decay)
+    eval_step = make_class_eval_step(model)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    results: Dict[str, float] = {}
+    epochs = 0
+    while epochs < cfg.max_epochs:
+        epochs += 1
+        tot = {"loss": 0.0, "acc": 0.0, "n": 0}
+        for batch in train_loader:
+            if batch["clips"].shape[0] != cfg.batch_size // \
+                    jax.process_count():
+                continue
+            mb = _class_batch(batch, dtype)
+            lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
+            state, m = train_step(state, mb, lr, key)
+            state_box["state"] = state
+            tot["loss"] += float(m["loss"])
+            tot["acc"] += float(m["acc"])
+            tot["n"] += 1
+            step_i = int(state.step)
+            if step_i % cfg.ckpt_every == 0:
+                save_train_state(cfg, PREFIX, state, sched)
+            if cfg.max_steps and step_i >= cfg.max_steps:
+                break
+        log.info("kinetics epoch %d loss %.4f top1 %.4f", epochs,
+                 tot["loss"] / max(tot["n"], 1),
+                 tot["acc"] / max(tot["n"], 1))
+        results["train_loss"] = tot["loss"] / max(tot["n"], 1)
+        results["train_top1"] = tot["acc"] / max(tot["n"], 1)
+
+        if len(val_ds):
+            eval_state = bn_aggregated(state)
+            vtot = {"loss": 0.0, "acc": 0.0, "n": 0}
+            for batch in val_loader:
+                out = eval_step(eval_state, _class_batch(batch, dtype))
+                vtot["loss"] += float(out["loss"])
+                vtot["acc"] += float(out["acc"])
+                vtot["n"] += 1
+                if cfg.max_val_batches and vtot["n"] >= cfg.max_val_batches:
+                    break
+            log.info("kinetics epoch %d VAL loss %.4f top1 %.4f (jit %s)",
+                     epochs, vtot["loss"] / max(vtot["n"], 1),
+                     vtot["acc"] / max(vtot["n"], 1),
+                     jit_cache_size(eval_step))
+            results["val_top1"] = vtot["acc"] / max(vtot["n"], 1)
+        sched.epoch_step()
+        if cfg.max_steps and int(state.step) >= cfg.max_steps:
+            break
+
+    save_train_state(cfg, PREFIX, state, sched)
+    return results
