@@ -431,8 +431,8 @@ def _prep_lane_weights(w: jax.Array, c: int, p: int) -> jax.Array:
     return jnp.tile(wt, (1, FOLD))
 
 
-def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
-                  sc=None, bi=None) -> jax.Array:
+def _dw_fold4_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
+                    sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     p = lanes // FOLD
     act = sc is not None
@@ -466,8 +466,8 @@ def _dw_fold4_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
     )(*ops)
 
 
-def _dw_fold4_wgrad_raw(x: jax.Array, g: jax.Array, interpret: bool,
-                        sc=None, bi=None) -> jax.Array:
+def _dw_fold4_wgrad_pcall(x: jax.Array, g: jax.Array, interpret: bool,
+                          sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     p = lanes // FOLD
     act = sc is not None
@@ -773,8 +773,8 @@ def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b,
         o_ref[0, :, z, :, :] = acc.astype(o_ref.dtype)
 
 
-def _fwd_s2_direct_raw(x: jax.Array, w_lane: jax.Array, interpret: bool,
-                       sc=None, bi=None) -> jax.Array:
+def _fwd_s2_direct_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
+                         sc=None, bi=None) -> jax.Array:
     b, t, hb, w, lanes = x.shape
     hb2, w2 = hb // 2, w // 2
     p = lanes // FOLD
@@ -884,7 +884,8 @@ def _pick_tiles_s2(t: int, hb2: int, w2: int, lanes: int,
     return best
 
 
-def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
+def _dx_s2_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool
+                 ) -> jax.Array:
     b, t, hb2, w2, lanes = g.shape
     p = lanes // FOLD
     tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize)
@@ -914,8 +915,8 @@ def _dx_s2_raw(g: jax.Array, w_lane: jax.Array, interpret: bool) -> jax.Array:
     )(w_lane, g)
 
 
-def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool,
-                  sc=None, bi=None) -> jax.Array:
+def _wgrad_s2_pcall(x: jax.Array, g: jax.Array, interpret: bool,
+                    sc=None, bi=None) -> jax.Array:
     b, t, hb2, w2, lanes = g.shape
     p = lanes // FOLD
     act = sc is not None
@@ -947,6 +948,133 @@ def _wgrad_s2_raw(x: jax.Array, g: jax.Array, interpret: bool,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ops)
+
+
+# ---- SPMD batch partitioning ----------------------------------------------
+#
+# Under ``jit`` with batch-sharded operands (the data-parallel mesh,
+# parallel/mesh.py) the SPMD partitioner treats a Mosaic custom-call
+# conservatively: every operand is all-gathered and each device computes the
+# FULL global batch.  The kernels are embarrassingly parallel over batch
+# (grid axis 0), so each entry point is registered with a
+# ``custom_partitioning`` rule: batch axis 0 shards through; the wgrad
+# kernels' (27, lanes) tap sums are per-shard partials combined with a
+# ``psum`` over the batch mesh axes.  The rules are Shardy-compatible
+# (``sharding_rule`` strings) and fall back to the GSPMD callbacks.
+
+
+def _sp_variants(kind: str):
+    """(impl, out_batched, batch_argnums, sharding rules w/o+w/ act)."""
+    return {
+        # x, w_lane [, sc, bi] -> y (same fold4 shape)
+        "fwd": (_dw_fold4_pcall, True, (0,),
+                "b t h w l, k l -> b t h w l",
+                "b t h w l, k l, l, l -> b t h w l"),
+        # x, g [, sc, bi] -> (27, lanes) tap sums (reduced over batch)
+        "wgrad": (_dw_fold4_wgrad_pcall, False, (0, 1),
+                  "b t h w l, b t h w l -> k l",
+                  "b t h w l, b t h w l, l, l -> k l"),
+        # x full-res, w_lane -> y at (hb/2, w/2)
+        "fwd_s2": (_fwd_s2_direct_pcall, True, (0,),
+                   "b t h w l, k l -> b t i j l",
+                   "b t h w l, k l, l, l -> b t i j l"),
+        # g half-res, w_lane -> dx full-res
+        "dx_s2": (_dx_s2_pcall, True, (0,),
+                  "b t h w l, k l -> b t i j l", None),
+        # x full-res, g half-res -> (27, lanes) tap sums
+        "wgrad_s2": (_wgrad_s2_pcall, False, (0, 1),
+                     "b t h w l, b t i j l -> k l",
+                     "b t h w l, b t i j l, l, l -> k l"),
+    }[kind]
+
+
+@functools.lru_cache(maxsize=None)
+def _sp_kernel(kind: str, act: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    impl, out_batched, batch_args, rule_noact, rule_act = _sp_variants(kind)
+    rule = rule_act if act else rule_noact
+
+    if act:
+        def fn(a0, a1, sc, bi):
+            return impl(a0, a1, interpret, sc=sc, bi=bi)
+    else:
+        def fn(a0, a1):
+            return impl(a0, a1, interpret)
+
+    cp = custom_partitioning(fn)
+
+    def _batch_axes(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        ax = _batch_axes(arg_shapes) if out_batched else None
+        return NamedSharding(mesh, PartitionSpec(ax) if ax is not None
+                             else PartitionSpec())
+
+    def partition(mesh, arg_shapes, result_shape):
+        ax = _batch_axes(arg_shapes)
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax)
+                          if (i in batch_args and ax is not None)
+                          else PartitionSpec())
+            for i in range(len(arg_shapes)))
+        out_sh = NamedSharding(
+            mesh, PartitionSpec(ax) if (out_batched and ax is not None)
+            else PartitionSpec())
+
+        def lower(*args):
+            out = fn(*args)
+            if not out_batched and ax is not None:
+                out = jax.lax.psum(out, ax)
+            return out
+
+        return mesh, lower, out_sh, arg_sh
+
+    # special factors must be listed in factor-index (first-appearance) order
+    seen: list = []
+    for f in rule:
+        if f.isalpha() and f != "b" and f not in seen:
+            seen.append(f)
+    factors = seen
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        reduction_factors=() if out_batched else ("b",),
+        need_replication_factors=tuple(factors),
+    )
+    return cp
+
+
+def _dw_fold4_raw(x, w_lane, interpret, sc=None, bi=None):
+    if sc is not None:
+        return _sp_kernel("fwd", True, interpret)(x, w_lane, sc, bi)
+    return _sp_kernel("fwd", False, interpret)(x, w_lane)
+
+
+def _dw_fold4_wgrad_raw(x, g, interpret, sc=None, bi=None):
+    if sc is not None:
+        return _sp_kernel("wgrad", True, interpret)(x, g, sc, bi)
+    return _sp_kernel("wgrad", False, interpret)(x, g)
+
+
+def _fwd_s2_direct_raw(x, w_lane, interpret, sc=None, bi=None):
+    if sc is not None:
+        return _sp_kernel("fwd_s2", True, interpret)(x, w_lane, sc, bi)
+    return _sp_kernel("fwd_s2", False, interpret)(x, w_lane)
+
+
+def _dx_s2_raw(g, w_lane, interpret):
+    return _sp_kernel("dx_s2", False, interpret)(g, w_lane)
+
+
+def _wgrad_s2_raw(x, g, interpret, sc=None, bi=None):
+    if sc is not None:
+        return _sp_kernel("wgrad_s2", True, interpret)(x, g, sc, bi)
+    return _sp_kernel("wgrad_s2", False, interpret)(x, g)
 
 
 def _zero_upsample_fold(g: jax.Array) -> jax.Array:
