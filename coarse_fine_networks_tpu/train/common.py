@@ -184,8 +184,10 @@ def preemption_guard(cfg: DriverConfig, prefix: str, state_ref: dict):
         if state is not None and state_ref.get("sched") is not None:
             try:
                 path = save_train_state(cfg, prefix, state,
-                                        state_ref["sched"])
-                log.warning("preemption/crash checkpoint saved: %s", path)
+                                        state_ref["sched"],
+                                        loader=state_ref.get("loader"))
+                if path is not None:
+                    log.warning("preemption/crash checkpoint saved: %s", path)
             except Exception:
                 log.exception("failed to save preemption checkpoint")
         raise
@@ -195,7 +197,18 @@ def preemption_guard(cfg: DriverConfig, prefix: str, state_ref: dict):
 
 
 def save_train_state(cfg: DriverConfig, prefix: str, state: TrainState,
-                     sched) -> str:
+                     sched, loader=None):
+    """Checkpoint the train state; returns the path, or ``None`` on
+    non-writer hosts.
+
+    Multi-host: exactly one writer.  Every process holds the same replicated
+    state, and concurrent ``os.replace`` of the same path on shared storage
+    is a race (ckpt/checkpoint.py requires a single writer) — so only
+    process 0 serialises; the others return immediately.  Verified by the
+    2-process test (tests/test_multiprocess_dp.py).  Matches the reference's
+    single-process ``torch.save`` (train_fine.py:245-249)."""
+    if jax.process_index() != 0:
+        return None
     path = os.path.join(cfg.save_dir,
                         f"{prefix}_{int(state.step):06d}.ckpt")
     payload = {
@@ -205,15 +218,20 @@ def save_train_state(cfg: DriverConfig, prefix: str, state: TrainState,
         "step": int(state.step),
         "scheduler": sched.state_dict(),
     }
+    if loader is not None:
+        # deterministic shuffle (seed+epoch) ⇒ (epoch, pos) restores the
+        # exact mid-epoch data position on resume
+        payload["loader"] = loader.state_dict()
     save_checkpoint(path, payload)
     log.info("saved checkpoint %s", path)
     return path
 
 
 def maybe_resume(cfg: DriverConfig, prefix: str, state: TrainState,
-                 sched) -> TrainState:
+                 sched, loader=None) -> TrainState:
     """Auto-resume from the latest checkpoint (upgrades the reference's
-    manual ``steps>0`` block, ``train_fine.py:118-120``)."""
+    manual ``steps>0`` block, ``train_fine.py:118-120``).  With ``loader``,
+    also restores the input-pipeline position (mid-epoch data resume)."""
     if not cfg.resume:
         return state
     path = latest_checkpoint(cfg.save_dir, prefix)
@@ -222,6 +240,10 @@ def maybe_resume(cfg: DriverConfig, prefix: str, state: TrainState,
     raw = load_checkpoint(path)
     log.info("resuming from %s (step %d)", path, raw["step"])
     sched.load_state_dict(raw["scheduler"])
+    if loader is not None and "loader" in raw:
+        loader.load_state_dict(raw["loader"])
+        log.info("input pipeline resumed at epoch %d batch %d",
+                 raw["loader"]["epoch"], raw["loader"]["pos"])
     variables = raw["variables"]
     from .optim import SGDState
 

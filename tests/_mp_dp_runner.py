@@ -100,9 +100,36 @@ def main():
     kernel = np.asarray(jax.device_get(state.params["fc2"]["kernel"]))
     bn_mean = np.asarray(
         jax.device_get(state.batch_stats["bn"]["split_mean"]))
+
+    # -- multi-host-safe checkpointing: exactly ONE writer, clean resume on
+    # every host (shared save_dir; ckpt/checkpoint.py single-writer contract)
+    from coarse_fine_networks_tpu.train.common import (
+        maybe_resume,
+        save_train_state,
+    )
+    from coarse_fine_networks_tpu.train.config import DriverConfig
+    from coarse_fine_networks_tpu.train.optim import MultiStepSchedule
+    from coarse_fine_networks_tpu.train import TrainState as TS
+
+    from jax.experimental import multihost_utils
+
+    ckpt_dir = out_path + ".ckpts"
+    cfg = DriverConfig(anno="", root="", save_dir=ckpt_dir, resume=True)
+    sched = MultiStepSchedule(0.01, (5,))
+    wrote = save_train_state(cfg, "mp", state, sched)
+    # barrier so both hosts see the file before resuming
+    multihost_utils.sync_global_devices("ckpt_written")
+    fresh = replicate(TS.create(variables), mesh)
+    resumed = maybe_resume(cfg, "mp", fresh, MultiStepSchedule(0.01, (5,)))
+    resumed_step = int(jax.device_get(resumed.step))
+    resumed_kernel = np.asarray(jax.device_get(
+        resumed.params["fc2"]["kernel"]))
+
     if pid == 0:
         np.savez(out_path, loss=loss, kernel=kernel, bn_mean=bn_mean,
                  step=int(jax.device_get(state.step)))
+    np.savez(f"{out_path}.proc{pid}", wrote=int(wrote is not None),
+             resumed_step=resumed_step, resumed_kernel=resumed_kernel)
     jax.distributed.shutdown()
     print(f"proc {pid} done loss={loss:.6f}")
 

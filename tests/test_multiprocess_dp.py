@@ -111,3 +111,17 @@ def test_two_process_dp_matches_single_process(tmp_path):
         got["bn_mean"],
         np.asarray(jax.device_get(state.batch_stats["bn"]["split_mean"])),
         rtol=1e-4, atol=1e-6)
+
+    # multi-host-safe checkpointing: exactly one writer (process 0), and
+    # BOTH hosts resume the same step/params from the shared save_dir
+    # (ckpt/checkpoint.py single-writer contract, train/common.py gate)
+    p0 = np.load(str(out) + ".proc0.npz")
+    p1 = np.load(str(out) + ".proc1.npz")
+    assert int(p0["wrote"]) == 1 and int(p1["wrote"]) == 0
+    assert int(p0["resumed_step"]) == int(p1["resumed_step"]) == 2
+    np.testing.assert_allclose(p0["resumed_kernel"], got["kernel"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(p1["resumed_kernel"], got["kernel"],
+                               rtol=1e-6)
+    ckpts = os.listdir(str(out) + ".ckpts")
+    assert ckpts == ["mp_000002.ckpt"], ckpts
