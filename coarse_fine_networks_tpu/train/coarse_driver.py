@@ -138,7 +138,9 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
                               warmup_steps=cfg.warmup_steps)
     state_box["sched"] = sched
-    state = maybe_resume(cfg, "coarse_fineFEAT_charades", state, sched)
+    state_box["loader"] = train_loader
+    state = maybe_resume(cfg, "coarse_fineFEAT_charades", state, sched,
+                         loader=train_loader)
 
     mesh = None
     if cfg.mesh_devices and cfg.mesh_devices > 1:
@@ -152,6 +154,12 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         accum_steps=cfg.num_steps_per_update,
     )
     eval_step = make_eval_step(eval_model, align_corners=cfg.align_corners)
+    # hoisted out of the val phase: rebuilding this jit per validation would
+    # discard its compile cache and recompile every chunked long-video shape
+    # each epoch (the reference compiles nothing, but pays the same windows
+    # every epoch too: train_coarse_fineFEAT.py:215-224)
+    chunk_apply = jax.jit(
+        lambda v, c, f, m, me: eval_model.apply(v, c, f, m, me, train=False))
     key = jax.random.PRNGKey(cfg.seed)
 
     tr_apm, val_apm = APMeter(), APMeter()
@@ -198,16 +206,13 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                         tot = {"loss": 0.0, "n": 0}
                     if step_i % cfg.ckpt_every == 0:
                         save_train_state(cfg, "coarse_fineFEAT_charades",
-                                         state, sched)
+                                         state, sched, loader=train_loader)
                     if cfg.max_steps and step_i >= cfg.max_steps:
                         break
             else:
                 eval_state = bn_aggregated(state)
                 eval_vars = {"params": eval_state.params,
                              "batch_stats": eval_state.batch_stats}
-                chunk_apply = jax.jit(
-                    lambda v, c, f, m, me: eval_model.apply(
-                        v, c, f, m, me, train=False))
                 writer = (LocalizeCSVWriter(cfg.localize_csv)
                           if cfg.localize_csv else None)
                 nval = 0
@@ -257,6 +262,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                          "chunk %s)", epochs, val_map,
                          jit_cache_size(eval_step),
                          jit_cache_size(chunk_apply))
+                results.setdefault("val_jit_shapes", []).append(
+                    (jit_cache_size(eval_step), jit_cache_size(chunk_apply)))
                 results["val_map"] = val_map
                 sched.epoch_step()
             if cfg.max_steps and int(state.step) >= cfg.max_steps:

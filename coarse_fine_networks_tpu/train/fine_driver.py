@@ -151,7 +151,9 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
                               warmup_steps=cfg.warmup_steps)
     state_box["sched"] = sched
-    state = maybe_resume(cfg, "fine_charades", state, sched)
+    state_box["loader"] = train_loader
+    state = maybe_resume(cfg, "fine_charades", state, sched,
+                         loader=train_loader)
 
     mesh = None
     if cfg.mesh_devices and cfg.mesh_devices > 1:
@@ -167,6 +169,10 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
 
     train_step = build_train_step(model)
     eval_step = make_eval_step(model, align_corners=cfg.align_corners)
+    # hoisted out of the val phase so the chunked long-video programs stay
+    # compiled across epochs; rebuilt only when the module itself changes
+    # (a multigrid bn-split transition)
+    chunk_apply = jax.jit(lambda v, c: model.apply(v, c, train=False))
     key = jax.random.PRNGKey(cfg.seed)
 
     # X3D long-cycle multigrid (activates the reference's dormant hooks:
@@ -184,7 +190,7 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         results["multigrid_phases"] = results_phases  # mutated in place
 
     def mg_apply(epoch_idx: int, state):
-        nonlocal model, train_step, mg_state
+        nonlocal model, train_step, eval_step, chunk_apply, mg_state
         shapes = mg.shapes(epoch_idx)
         splits = cfg.base_bn_splits * mg.phase(epoch_idx).bn_split_scale
         if (shapes, splits) == mg_state:
@@ -196,9 +202,18 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         if splits != (mg_state[1] or cfg.base_bn_splits):
             new_stats, _ = mg.transition(epoch_idx, state.batch_stats,
                                          cfg.base_bn_splits)
+            if mesh is not None:
+                # transition builds host-side arrays; under the mesh they
+                # must re-enter training replicated like the rest of state
+                new_stats = replicate(new_stats, mesh)
             state = state.replace(batch_stats=new_stats)
             model = model.clone(bn_splits=splits)
             train_step = build_train_step(model)
+            # the module (BN-split structure) changed: eval/chunk programs
+            # must trace the new module too
+            eval_step = make_eval_step(model, align_corners=cfg.align_corners)
+            chunk_apply = jax.jit(
+                lambda v, c: model.apply(v, c, train=False))
         mg_state = (shapes, splits)
         log.info("multigrid phase @ epoch %d: frames %d crop %d batch %d "
                  "bn_splits %d", epoch_idx, frames, crop, bsz, splits)
@@ -244,15 +259,14 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                         tr_apm.reset()
                         tot = {"loss": 0.0, "cls": 0.0, "loc": 0.0, "n": 0}
                     if step_i % cfg.ckpt_every == 0:
-                        save_train_state(cfg, "fine_charades", state, sched)
+                        save_train_state(cfg, "fine_charades", state, sched,
+                                         loader=train_loader)
                     if cfg.max_steps and step_i >= cfg.max_steps:
                         break
             else:
                 eval_state = bn_aggregated(state)
                 eval_vars = {"params": eval_state.params,
                              "batch_stats": eval_state.batch_stats}
-                chunk_apply = jax.jit(
-                    lambda v, c: model.apply(v, c, train=False))
                 vloss = 0.0
                 nval = 0
                 for batch in val_loader:
@@ -282,6 +296,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                          "eval %s chunk %s)", epochs,
                          vloss / max(nval, 1), val_map,
                          jit_cache_size(eval_step), jit_cache_size(chunk_apply))
+                results.setdefault("val_jit_shapes", []).append(
+                    (jit_cache_size(eval_step), jit_cache_size(chunk_apply)))
                 results["val_map"] = val_map
                 results["val_loss"] = vloss / max(nval, 1)
                 sched.epoch_step()

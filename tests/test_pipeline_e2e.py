@@ -119,6 +119,29 @@ def test_fine_driver_multicrop_eval(mini):
 
 
 @pytest.mark.slow
+def test_no_recompiles_across_val_phases(mini):
+    """The chunked-eval jit is hoisted out of the val phase: a second
+    validation over the same (bucketed) shapes must not compile anything new
+    (the per-val-phase rebuild used to discard the compile cache every
+    epoch).  Counts compiled programs via jit_cache_size (exposed in
+    results['val_jit_shapes'])."""
+    root, anno = mini
+    feat_dir = os.path.join(root, "fine_feats")
+    if not os.path.isdir(feat_dir):
+        extract_driver.run(_cfg(root, anno, frames=8), feat_dir, None)
+    ccfg = _cfg(root, anno, fine_feat_dir=feat_dir, align_corners=False,
+                max_steps=None, max_epochs=2, train_phases_per_val=1,
+                t_lim_inference=4,
+                save_dir=os.path.join(root, "models_novalrecompile"))
+    res = coarse_driver.run(ccfg)
+    shapes = res["val_jit_shapes"]
+    assert len(shapes) == 2, shapes
+    if shapes[0][0] >= 0:  # runtime exposes cache sizes
+        assert shapes[1] == shapes[0], (
+            f"val-phase recompiles: {shapes[0]} -> {shapes[1]}")
+
+
+@pytest.mark.slow
 def test_coarse_driver_chunked_long_video_eval(mini):
     """Force the 1000-frame-window chunked inference path
     (train_coarse_fineFEAT.py:215-224) with a tiny window."""
