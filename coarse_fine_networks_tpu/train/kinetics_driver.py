@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from ..data.kinetics import KineticsDataset, collate_kinetics
 from ..data.loader import PrefetchLoader
 from ..models import FineNet
+from ..parallel import make_mesh, shard_batch
+from ..parallel.mesh import replicate
 from ..utils import get_logger
 from .common import preemption_guard, prepare_clips, save_train_state
 from .common import maybe_resume
@@ -112,13 +114,13 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     shard = None
     if jax.process_count() > 1:
         shard = (jax.process_index(), jax.process_count())
+    vbs = cfg.val_batch_size or cfg.batch_size
     train_loader = PrefetchLoader(train_ds, cfg.batch_size, collate,
                                   shuffle=True, num_workers=cfg.num_workers,
                                   prefetch=cfg.prefetch, drop_last=True,
                                   seed=cfg.seed, shard=shard)
-    val_loader = PrefetchLoader(val_ds, cfg.val_batch_size or cfg.batch_size,
-                                collate, shuffle=False,
-                                num_workers=cfg.num_workers)
+    val_loader = PrefetchLoader(val_ds, vbs, collate, shuffle=False,
+                                num_workers=cfg.num_workers, shard=shard)
 
     dtype = jnp.dtype(cfg.compute_dtype)
     model = FineNet(version=cfg.x3d_version, n_classes=cfg.num_classes,
@@ -134,7 +136,24 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
                               warmup_steps=cfg.warmup_steps)
     state_box["sched"] = sched
-    state = maybe_resume(cfg, PREFIX, state, sched)
+    state_box["loader"] = train_loader
+    state = maybe_resume(cfg, PREFIX, state, sched, loader=train_loader)
+
+    # Same data-parallel surface as the detection drivers: replicated state,
+    # batch sharded over the mesh (gradient all-reduce + global BN via XLA
+    # collectives).  Multi-process runs REQUIRE the mesh — each host loads
+    # only its shard and the global batch is assembled with
+    # make_array_from_process_local_data; training per-host numpy batches
+    # would silently optimise independent diverging models.
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        mesh = make_mesh(cfg.mesh_devices)
+    elif jax.process_count() > 1:
+        mesh = make_mesh()
+    if mesh is not None:
+        state = replicate(state, mesh)
+        log.info("kinetics data-parallel mesh over %d devices",
+                 mesh.devices.size)
 
     train_step = make_class_train_step(model, momentum=cfg.momentum,
                                        weight_decay=cfg.weight_decay)
@@ -151,6 +170,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                     jax.process_count():
                 continue
             mb = _class_batch(batch, dtype)
+            if mesh is not None:
+                mb = shard_batch(mb, mesh)
             lr = jnp.asarray(sched.lr(int(state.step)), jnp.float32)
             state, m = train_step(state, mb, lr, key)
             state_box["state"] = state
@@ -159,7 +180,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
             tot["n"] += 1
             step_i = int(state.step)
             if step_i % cfg.ckpt_every == 0:
-                save_train_state(cfg, PREFIX, state, sched)
+                save_train_state(cfg, PREFIX, state, sched,
+                                 loader=train_loader)
             if cfg.max_steps and step_i >= cfg.max_steps:
                 break
         log.info("kinetics epoch %d loss %.4f top1 %.4f", epochs,
@@ -172,7 +194,13 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
             eval_state = bn_aggregated(state)
             vtot = {"loss": 0.0, "acc": 0.0, "n": 0}
             for batch in val_loader:
-                out = eval_step(eval_state, _class_batch(batch, dtype))
+                if (jax.process_count() > 1 and batch["clips"].shape[0]
+                        != vbs // jax.process_count()):
+                    continue  # ragged tail can't assemble a global batch
+                vmb = _class_batch(batch, dtype)
+                if mesh is not None:
+                    vmb = shard_batch(vmb, mesh)
+                out = eval_step(eval_state, vmb)
                 vtot["loss"] += float(out["loss"])
                 vtot["acc"] += float(out["acc"])
                 vtot["n"] += 1
@@ -187,5 +215,5 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         if cfg.max_steps and int(state.step) >= cfg.max_steps:
             break
 
-    save_train_state(cfg, PREFIX, state, sched)
+    save_train_state(cfg, PREFIX, state, sched, loader=train_loader)
     return results

@@ -80,3 +80,27 @@ def test_pretrain_and_transfer(corpus, tmp_path):
     # max_steps=1 returns after the first train step (before the val phase);
     # the transfer itself is proven by the load log + finite train mAP
     assert np.isfinite(det_results["train_map"])
+
+
+@pytest.mark.slow
+def test_pretrain_under_mesh(corpus, tmp_path):
+    """Kinetics pretraining under a data-parallel mesh: state replicated,
+    batch sharded, same train surface as the detection drivers (the driver
+    used to jit plain per-host numpy batches)."""
+    import jax
+
+    from coarse_fine_networks_tpu.train import kinetics_driver
+
+    assert jax.device_count() >= 2
+    root, anno = corpus
+    cfg = DriverConfig(
+        anno=anno, root=os.path.join(root, "frames"),
+        save_dir=str(tmp_path / "models_mesh"),
+        num_classes=5, batch_size=2, val_batch_size=2, init_lr=0.01,
+        frames=4, min_frames=10, crop_size_override=32,
+        max_epochs=1, num_workers=2, ckpt_every=100, max_steps=2,
+        max_val_batches=1, pad_t_multiple=4, resume=False,
+        compute_dtype="float32", mesh_devices=2,
+    )
+    results = kinetics_driver.run(cfg)
+    assert np.isfinite(results["train_loss"])
