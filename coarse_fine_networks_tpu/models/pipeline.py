@@ -40,11 +40,18 @@ class CoarseFinePipeline(nn.Module):
     crops: int = 1
     compute_dtype: jnp.dtype = jnp.float32
     dw_impl: str = "lax"
-    trunk_layout: str = "plain"
+    trunk_layout: str = "auto"  # serving gets the fold4 trunk on TPU too
 
     @nn.compact
     def __call__(self, clips: jax.Array, fine_clips: jax.Array,
-                 meta: jax.Array, label_len: int | None = None) -> jax.Array:
+                 meta: jax.Array, label_len: int | None = None,
+                 fine_mask: jax.Array | None = None) -> jax.Array:
+        """``fine_mask`` (B, T_f): validity of each fine frame.  Serving pads
+        every request up to its geometric bucket — without the mask, the
+        BN-biased activations of zero-padded fine frames would be fused as
+        valid features and the output would depend on which padding bucket a
+        video lands in (the reference masks invalid feature frames,
+        ``charades_coarse_fineFEAT.py:235-247``)."""
         if label_len is None:
             label_len = 4 * clips.shape[1]
         feats = FineNet(
@@ -54,7 +61,10 @@ class CoarseFinePipeline(nn.Module):
             name="fine",
         )(fine_clips, train=False)
         feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
-        feat_mask = jnp.ones(fine_clips.shape[:2], jnp.float32)
+        if fine_mask is None:
+            feat_mask = jnp.ones(fine_clips.shape[:2], jnp.float32)
+        else:
+            feat_mask = fine_mask.astype(jnp.float32)
 
         logits = CoarseNet(
             version=self.version, n_classes=self.n_classes, task="loc",

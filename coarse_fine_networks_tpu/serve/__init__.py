@@ -8,6 +8,10 @@ deadline and executed through one jitted program per bucket shape (the
 static-shape discipline that keeps XLA recompiles bounded).
 """
 
-from .scheduler import InferenceRequest, VideoServer
+from .scheduler import (
+    InferenceRequest,
+    ServerOverloadedError,
+    VideoServer,
+)
 
-__all__ = ["InferenceRequest", "VideoServer"]
+__all__ = ["InferenceRequest", "ServerOverloadedError", "VideoServer"]

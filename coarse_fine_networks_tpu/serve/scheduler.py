@@ -5,11 +5,25 @@ geometric length bucket (``multiple * 2^k`` — the same O(log T) static-shape
 discipline as validation, :mod:`..data.dataset`), groups same-bucket requests
 up to ``max_batch`` within a ``max_wait_ms`` deadline, and runs one jitted
 program per (batch, bucket) shape.  Each request's result is sliced back to
-its true frame count.
+its true frame count, and padded fine frames are masked out of the fusion
+(``fine_mask`` → :class:`..models.CoarseFinePipeline`).
 
-Replaces the reference's only inference surface — the batch-1 whole-video
-val loop (``train_coarse_fineFEAT.py:215-263``) — with an actual serving
-component.
+Hardening (production-serving semantics the reference has no equivalent of —
+its only inference surface is the batch-1 whole-video val loop,
+``train_coarse_fineFEAT.py:215-263``):
+
+* **bounded queue / backpressure** — ``submit`` raises
+  :class:`ServerOverloadedError` once ``max_queue`` requests are pending;
+* **per-request timeout** — requests older than ``request_timeout_s`` fail
+  with ``TimeoutError`` instead of waiting forever;
+* **cancellation** — a ``Future.cancel()`` before the batch launches removes
+  the request from its batch;
+* **error isolation** — an exception in one batch fails only that batch's
+  futures; the scheduler keeps serving.
+
+Buckets key on both temporal lengths *and* the spatial sizes of both streams,
+so mixed-resolution traffic can never be fused into one (shape-invalid)
+program call.
 """
 
 from __future__ import annotations
@@ -27,6 +41,10 @@ import jax
 import jax.numpy as jnp
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by ``submit`` when the pending-request queue is full."""
+
+
 def _bucket_up(n: int, multiple: int) -> int:
     m = multiple
     while m < n:
@@ -37,7 +55,7 @@ def _bucket_up(n: int, multiple: int) -> int:
 @dataclasses.dataclass
 class InferenceRequest:
     clips: np.ndarray        # (T, H, W, 3) float32 — coarse-stream frames
-    fine_clips: np.ndarray   # (T_f, H, W, 3) float32 — fine-stream frames
+    fine_clips: np.ndarray   # (T_f, H', W', 3) float32 — fine-stream frames
     meta: Optional[np.ndarray] = None   # (4,) int32; default whole video
     future: Future = dataclasses.field(default_factory=Future)
     enqueued_at: float = dataclasses.field(default_factory=time.monotonic)
@@ -51,13 +69,17 @@ class VideoServer:
     """Batching scheduler over a jittable whole-video apply function.
 
     Args:
-      apply_fn: ``(clips, fine_clips, meta, label_len) -> probs`` — e.g.
-        ``functools.partial(pipeline.apply, variables)``.  Called under jit
-        with static ``label_len``.
+      apply_fn: ``(clips, fine_clips, meta, label_len, fine_mask) -> probs``
+        — e.g. ``functools.partial(pipeline.apply, variables)``.  Called
+        under jit with static ``label_len``.
       max_batch: upper bound on requests fused into one program call.
       max_wait_ms: how long the scheduler holds a non-full batch open for
         same-bucket stragglers.
       bucket_multiple: base of the geometric padding buckets.
+      max_queue: pending-request bound; ``submit`` raises
+        :class:`ServerOverloadedError` beyond it (backpressure).
+      request_timeout_s: if set, requests that wait longer fail with
+        ``TimeoutError``.
     """
 
     def __init__(
@@ -66,19 +88,26 @@ class VideoServer:
         max_batch: int = 4,
         max_wait_ms: float = 5.0,
         bucket_multiple: int = 16,
+        max_queue: int = 256,
+        request_timeout_s: Optional[float] = None,
     ):
         self._apply = apply_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.bucket_multiple = bucket_multiple
-        self._buckets: Dict[Tuple[int, int], collections.deque] = {}
+        self.max_queue = max_queue
+        self.request_timeout = request_timeout_s
+        self._buckets: Dict[Tuple[int, ...], collections.deque] = {}
+        self._pending = 0
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self._jitted: Dict[int, Callable] = {}
+        self._jitted: Dict[Tuple[int, int], Callable] = {}
         self.batches_run = 0
         self.batch_sizes: list = []
+        self.timeouts = 0
+        self.cancelled = 0
 
     # -- public API ----------------------------------------------------------
 
@@ -96,27 +125,71 @@ class VideoServer:
     def submit(self, clips: np.ndarray, fine_clips: np.ndarray,
                meta: Optional[np.ndarray] = None) -> Future:
         """Queue one whole-video request; the Future resolves to per-frame
-        class probabilities ``(4*T, n_classes)`` float32."""
-        req = InferenceRequest(np.asarray(clips, np.float32),
-                               np.asarray(fine_clips, np.float32),
+        class probabilities ``(4*T, n_classes)`` float32.
+
+        Raises :class:`ServerOverloadedError` when ``max_queue`` requests are
+        already pending, and ``ValueError`` on malformed inputs."""
+        clips = np.asarray(clips, np.float32)
+        fine_clips = np.asarray(fine_clips, np.float32)
+        if clips.ndim != 4 or clips.shape[-1] != 3:
+            raise ValueError(f"clips must be (T, H, W, 3), got {clips.shape}")
+        if fine_clips.ndim != 4 or fine_clips.shape[-1] != 3:
+            raise ValueError(
+                f"fine_clips must be (T_f, H, W, 3), got {fine_clips.shape}")
+        req = InferenceRequest(clips, fine_clips,
                                None if meta is None
                                else np.asarray(meta, np.int32))
         key = self._bucket_key(req)
         with self._lock:
+            if self._pending >= self.max_queue:
+                raise ServerOverloadedError(
+                    f"{self._pending} requests pending (max_queue="
+                    f"{self.max_queue})")
             self._buckets.setdefault(key, collections.deque()).append(req)
+            self._pending += 1
         self._wake.set()
         return req.future
 
     # -- internals -----------------------------------------------------------
 
-    def _bucket_key(self, req: InferenceRequest) -> Tuple[int, int]:
+    def _bucket_key(self, req: InferenceRequest) -> Tuple[int, ...]:
+        """Temporal buckets of both streams + exact spatial sizes of both
+        streams: only requests that pad to one program shape share a key."""
         return (_bucket_up(req.clips.shape[0], self.bucket_multiple),
-                _bucket_up(req.fine_clips.shape[0], self.bucket_multiple))
+                _bucket_up(req.fine_clips.shape[0], self.bucket_multiple),
+                req.clips.shape[1], req.clips.shape[2],
+                req.fine_clips.shape[1], req.fine_clips.shape[2])
+
+    def _expire_and_prune(self):
+        """Drop timed-out and already-cancelled requests from every bucket;
+        fail the timed-out ones.  Called with the lock held."""
+        now = time.monotonic()
+        for dq in self._buckets.values():
+            kept = []
+            for r in dq:
+                if r.future.cancelled():
+                    self.cancelled += 1
+                    self._pending -= 1
+                    continue
+                if (self.request_timeout is not None
+                        and now - r.enqueued_at > self.request_timeout):
+                    if r.future.set_running_or_notify_cancel():
+                        r.future.set_exception(TimeoutError(
+                            f"request waited > {self.request_timeout}s"))
+                        self.timeouts += 1
+                    else:
+                        self.cancelled += 1
+                    self._pending -= 1
+                    continue
+                kept.append(r)
+            dq.clear()
+            dq.extend(kept)
 
     def _take_batch(self):
         """Pick the bucket with the oldest head request; take up to
-        max_batch requests from it."""
+        max_batch runnable requests from it."""
         with self._lock:
+            self._expire_and_prune()
             best_key, best_age = None, None
             for key, dq in self._buckets.items():
                 if dq and (best_age is None
@@ -130,28 +203,40 @@ class VideoServer:
                 return None, []   # hold the batch open for stragglers
             out = []
             while dq and len(out) < self.max_batch:
-                out.append(dq.popleft())
+                r = dq.popleft()
+                self._pending -= 1
+                # transitions PENDING→RUNNING; False if cancelled meanwhile
+                if r.future.set_running_or_notify_cancel():
+                    out.append(r)
+                else:
+                    self.cancelled += 1
             return best_key, out
 
     def _run_batch(self, key, reqs):
-        t_pad, tf_pad = key
+        t_pad, tf_pad, h, w, fh, fw = key
         b = len(reqs)
-        h = reqs[0].clips.shape[1]
-        clips = np.zeros((b, t_pad, h, h, 3), np.float32)
-        fine = np.zeros((b, tf_pad, h, h, 3), np.float32)
+        clips = np.zeros((b, t_pad, h, w, 3), np.float32)
+        fine = np.zeros((b, tf_pad, fh, fw, 3), np.float32)
+        fine_mask = np.zeros((b, tf_pad), np.float32)
         meta = np.zeros((b, 4), np.int32)
         for i, r in enumerate(reqs):
-            clips[i, : r.clips.shape[0]] = r.clips
-            fine[i, : r.fine_clips.shape[0]] = r.fine_clips
-            t = r.clips.shape[0]
+            t, tf = r.clips.shape[0], r.fine_clips.shape[0]
+            clips[i, :t] = r.clips
+            fine[i, :tf] = r.fine_clips
+            fine_mask[i, :tf] = 1.0
+            # [start_f, frames, nf, stride]/gamma_tau with nf the TRUE fine
+            # frame count (charades_coarse_fineFEAT.py:199-200)
             meta[i] = (r.meta if r.meta is not None
-                       else np.asarray([0, t, 2 * t, 1], np.int32))
+                       else np.asarray([0, t, tf, 1], np.int32))
         label_len = 4 * t_pad
-        if label_len not in self._jitted:
-            self._jitted[label_len] = jax.jit(
-                lambda c, f, m: self._apply(c, f, m, label_len))
-        probs = np.asarray(self._jitted[label_len](
-            jnp.asarray(clips), jnp.asarray(fine), jnp.asarray(meta)))
+        jit_key = (label_len, key)
+        if jit_key not in self._jitted:
+            self._jitted[jit_key] = jax.jit(
+                lambda c, f, m, fm: self._apply(c, f, m, label_len,
+                                                fine_mask=fm))
+        probs = np.asarray(self._jitted[jit_key](
+            jnp.asarray(clips), jnp.asarray(fine), jnp.asarray(meta),
+            jnp.asarray(fine_mask)))
         self.batches_run += 1
         self.batch_sizes.append(b)
         for i, r in enumerate(reqs):
@@ -166,7 +251,7 @@ class VideoServer:
                 continue
             try:
                 self._run_batch(key, reqs)
-            except Exception as e:  # surface errors to the callers
+            except Exception as e:  # isolate: fail this batch, keep serving
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)

@@ -1,7 +1,10 @@
 """Continuous-batching inference server: batched results must match direct
-single-request inference, mixed lengths must bucket into bounded shapes."""
+single-request inference, mixed lengths must bucket into bounded shapes, and
+the hardening semantics (backpressure, timeout, cancellation, error
+isolation, spatial-shape bucketing) must hold."""
 
 import functools
+import time
 
 import numpy as np
 import pytest
@@ -10,9 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from coarse_fine_networks_tpu.models import CoarseFinePipeline
-from coarse_fine_networks_tpu.serve import VideoServer
-
-pytestmark = pytest.mark.slow  # pipeline compiles dominate
+from coarse_fine_networks_tpu.serve import ServerOverloadedError, VideoServer
 
 
 @pytest.fixture(scope="module")
@@ -21,12 +22,13 @@ def pipeline():
     h, t, tf = 32, 8, 8
     clips = jnp.zeros((1, t, h, h, 3), jnp.float32)
     fine = jnp.zeros((1, tf, h, h, 3), jnp.float32)
-    meta = jnp.asarray([[0, t, 2 * t, 1]], jnp.int32)
+    meta = jnp.asarray([[0, t, tf, 1]], jnp.int32)
     v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, clips,
                                fine, meta))()
     return m, v
 
 
+@pytest.mark.slow
 def test_server_batches_and_matches_direct(pipeline):
     m, v = pipeline
     h = 32
@@ -47,24 +49,30 @@ def test_server_batches_and_matches_direct(pipeline):
         assert server.batch_sizes == [4]
 
         for (clips, fine, _), probs in zip(reqs, results):
-            t = clips.shape[0]
+            t, tf = clips.shape[0], fine.shape[0]
             assert probs.shape == (4 * t, 7)
             assert np.isfinite(probs).all()
             assert (probs >= 0).all() and (probs <= 1).all()
-            # direct single-request inference through the same padded shape
+            # direct single-request inference through the same padded shape,
+            # with the same fine-frame validity mask the server derives
             cp = np.zeros((1, 8, h, h, 3), np.float32)
             fp = np.zeros((1, 8, h, h, 3), np.float32)
+            fm = np.zeros((1, 8), np.float32)
             cp[0, :t] = clips
-            fp[0, : fine.shape[0]] = fine
-            meta = jnp.asarray([[0, t, 2 * t, 1]], jnp.int32)
+            fp[0, :tf] = fine
+            fm[0, :tf] = 1.0
+            meta = jnp.asarray([[0, t, tf, 1]], jnp.int32)
             ref = np.asarray(
-                jax.jit(lambda c, f, me: m.apply(v, c, f, me, 32))(
-                    jnp.asarray(cp), jnp.asarray(fp), meta))[0, : 4 * t]
+                jax.jit(lambda c, f, me, k: m.apply(v, c, f, me, 32,
+                                                    fine_mask=k))(
+                    jnp.asarray(cp), jnp.asarray(fp), meta,
+                    jnp.asarray(fm)))[0, : 4 * t]
             np.testing.assert_allclose(probs, ref, rtol=2e-4, atol=2e-5)
     finally:
         server.stop()
 
 
+@pytest.mark.slow
 def test_server_mixed_buckets(pipeline):
     m, v = pipeline
     h = 32
@@ -82,5 +90,128 @@ def test_server_mixed_buckets(pipeline):
             probs = f.result(timeout=600)
             assert probs.shape == (4 * t, 7)
         assert server.batches_run <= 3   # bounded by bucket count
+    finally:
+        server.stop()
+
+
+# ---- hardening (cheap stub apply — no model compile) ------------------------
+
+
+def _stub_apply(c, f, m, label_len, fine_mask=None):
+    """Echo meta into the result so tests can observe what the server built:
+    out[..., :4] = meta, out[..., 4] = sum(fine_mask) per sample."""
+    b = c.shape[0]
+    out = jnp.zeros((b, label_len, 7), jnp.float32)
+    out = out.at[:, :, :4].set(m[:, None, :].astype(jnp.float32))
+    if fine_mask is not None:
+        out = out.at[:, :, 4].set(jnp.sum(fine_mask, axis=1)[:, None])
+    return out
+
+
+def _req(rng, t=5, tf=6, h=16, w=16):
+    return (rng.rand(t, h, w, 3).astype(np.float32),
+            rng.rand(tf, h, w, 3).astype(np.float32))
+
+
+def test_backpressure_bounded_queue():
+    rng = np.random.RandomState(0)
+    server = VideoServer(_stub_apply, max_queue=2)  # not started: no drain
+    server.submit(*_req(rng))
+    server.submit(*_req(rng))
+    with pytest.raises(ServerOverloadedError):
+        server.submit(*_req(rng))
+
+
+def test_submit_validates_shapes():
+    server = VideoServer(_stub_apply)
+    with pytest.raises(ValueError):
+        server.submit(np.zeros((5, 16, 16)), np.zeros((5, 16, 16, 3)))
+    with pytest.raises(ValueError):
+        server.submit(np.zeros((5, 16, 16, 3)), np.zeros((5, 16, 16, 4)))
+
+
+def test_request_timeout():
+    rng = np.random.RandomState(0)
+    # max_batch never fills and the deadline is far: the lone request would
+    # wait forever without the per-request timeout
+    server = VideoServer(_stub_apply, max_batch=64, max_wait_ms=60_000,
+                         request_timeout_s=0.05).start()
+    try:
+        f = server.submit(*_req(rng))
+        with pytest.raises(TimeoutError):
+            f.result(timeout=30)
+        assert server.timeouts == 1
+    finally:
+        server.stop()
+
+
+def test_cancellation_before_launch():
+    rng = np.random.RandomState(0)
+    server = VideoServer(_stub_apply, max_batch=2, max_wait_ms=500).start()
+    try:
+        f1 = server.submit(*_req(rng))
+        f2 = server.submit(*_req(rng, t=6))  # same bucket; batch of 2 forms
+        assert f2.cancel()                   # ...unless cancelled in time
+        r1 = f1.result(timeout=60)
+        assert r1.shape == (4 * 5, 7)
+        deadline = time.monotonic() + 10
+        while server.cancelled == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert server.cancelled == 1
+        assert server.batch_sizes == [1]
+    finally:
+        server.stop()
+
+
+def test_error_isolation_keeps_serving():
+    rng = np.random.RandomState(0)
+    box = {"fail": True}
+
+    def flaky(c, f, m, label_len, fine_mask=None):
+        if box["fail"]:
+            raise ValueError("injected")
+        return _stub_apply(c, f, m, label_len, fine_mask)
+
+    server = VideoServer(flaky, max_batch=1, max_wait_ms=1).start()
+    try:
+        f1 = server.submit(*_req(rng))
+        with pytest.raises(ValueError, match="injected"):
+            f1.result(timeout=60)
+        box["fail"] = False
+        f2 = server.submit(*_req(rng))
+        assert f2.result(timeout=60).shape == (4 * 5, 7)
+    finally:
+        server.stop()
+
+
+def test_spatial_sizes_bucket_separately():
+    """Different H/W (or fine-stream H/W) must never fuse into one batch —
+    they are different program shapes (the batch assembly would raise)."""
+    rng = np.random.RandomState(0)
+    server = VideoServer(_stub_apply, max_batch=8, max_wait_ms=30).start()
+    try:
+        f1 = server.submit(*_req(rng, h=16, w=16))
+        f2 = server.submit(*_req(rng, h=32, w=16))
+        f3 = server.submit(*_req(rng, h=16, w=16))  # only f1's bucket-mate
+        for f in (f1, f2, f3):
+            assert f.result(timeout=60).shape == (4 * 5, 7)
+        assert server.batches_run == 2
+        assert sorted(server.batch_sizes) == [1, 2]
+    finally:
+        server.stop()
+
+
+def test_default_meta_and_fine_mask():
+    """Default meta carries the TRUE fine frame count (nf) and the server
+    passes a validity mask covering exactly the unpadded fine frames."""
+    rng = np.random.RandomState(0)
+    server = VideoServer(_stub_apply, max_batch=1, max_wait_ms=1,
+                         bucket_multiple=16).start()
+    try:
+        t, tf = 5, 9  # tf pads to 16; mask must still sum to 9
+        f = server.submit(*_req(rng, t=t, tf=tf))
+        out = f.result(timeout=60)
+        np.testing.assert_array_equal(out[0, :4], [0, t, tf, 1])
+        assert out[0, 4] == tf
     finally:
         server.stop()
