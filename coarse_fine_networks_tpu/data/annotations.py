@@ -55,9 +55,19 @@ def make_dataset(
     num_classes: int = 157,
     min_frames: int = DEFAULT_MIN_FRAMES,
     use_cache: bool = True,
+    frame_counts=None,
+    cache_dir: str | None = None,
 ) -> List[Entry]:
-    """Build (and cache) the per-video label table for a split."""
-    cache = f"{split_file[:-5]}_{split}_labels_tpu.npz"
+    """Build (and cache) the per-video label table for a split.
+
+    ``frame_counts`` (optional ``{vid: num_frames}``) overrides the on-disk
+    frame-directory listing — e.g. from a ``.cfnpack`` index, or to exercise
+    the rasteriser on the real 9,848-video ``charades.json`` when the JPEG
+    mirror is absent.  ``cache_dir`` redirects the ``.npz`` cache (the
+    default writes next to ``split_file``, which may be read-only)."""
+    base = (os.path.join(cache_dir, os.path.basename(split_file))
+            if cache_dir else split_file)
+    cache = f"{base[:-5]}_{split}_labels_tpu.npz"
     if use_cache and os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
         return list(map(tuple, z["entries"]))
@@ -69,7 +79,8 @@ def make_dataset(
     for vid, info in data.items():
         if info["subset"] != split:
             continue
-        nf = _num_frames_on_disk(root, vid)
+        nf = (frame_counts.get(vid, 0) if frame_counts is not None
+              else _num_frames_on_disk(root, vid))
         if nf < min_frames:
             continue
         label = rasterize_annotations(info["actions"], info["duration"], nf,
