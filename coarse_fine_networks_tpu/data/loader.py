@@ -50,6 +50,11 @@ class PrefetchLoader:
         self.seed = seed
         self.epoch = 0
         self.shard = shard
+        # input-pipeline position (mid-epoch checkpoint/resume): epoch of
+        # the in-flight iteration + batches already yielded from it
+        self._iter_epoch = 0
+        self._pos = 0
+        self._resume_skip = 0
         # length-bucketed batching: order samples by key (e.g. video frame
         # count) so each batch pads to a tight, recompile-friendly max
         self.sort_key = sort_key
@@ -86,9 +91,26 @@ class PrefetchLoader:
             out = [b[rank * bs_local : (rank + 1) * bs_local] for b in out]
         return out
 
+    def state_dict(self) -> dict:
+        """Input-pipeline position for mid-epoch checkpointing: the shuffle
+        is deterministic (seed + epoch), so ``(epoch, batches_consumed)``
+        fully determines the remaining data order.  Saved alongside the model
+        state so preemption recovery restores *data* position, not just
+        parameters (the reference re-reads the epoch from the start,
+        double-sampling everything before the crash)."""
+        return {"epoch": self._iter_epoch, "pos": self._pos}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.epoch = int(sd["epoch"])
+        self._resume_skip = int(sd["pos"])
+
     def __iter__(self) -> Iterator:
+        self._iter_epoch = self.epoch
         batches = self._batches()
         self.epoch += 1
+        skip, self._resume_skip = self._resume_skip, 0
+        batches = batches[skip:]
+        self._pos = skip
         work: "queue.Queue" = queue.Queue()
         done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         results = {}
@@ -138,6 +160,7 @@ class PrefetchLoader:
                     with lock:
                         out = results.pop(next_idx)
                     next_idx += 1
+                    self._pos += 1
                     yield out
         finally:
             for t in threads:

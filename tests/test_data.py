@@ -253,3 +253,52 @@ def test_bucketed_coarse_collate_feats():
                           pad_t_multiple=16, pad_label_multiple=16,
                           bucket=True)
     assert out2["feats"]["layer1"].shape[1] == 128
+
+
+def test_loader_mid_epoch_checkpoint_resume():
+    """Deterministic global shuffle + input-pipeline position checkpointing:
+    a loader resumed from ``state_dict`` replays exactly the batches an
+    uninterrupted loader would have produced — mid-epoch and across the
+    epoch boundary (preemption recovery restores *data* position, not just
+    model state)."""
+    from coarse_fine_networks_tpu.data.loader import PrefetchLoader
+
+    data = list(range(37))
+    collate = lambda xs: xs  # noqa: E731
+
+    def run_epochs(loader, n_batches):
+        out = []
+        while len(out) < n_batches:
+            for b in loader:
+                out.append(b)
+                if len(out) == n_batches:
+                    break
+        return out
+
+    full = PrefetchLoader(data, 4, collate, shuffle=True, num_workers=2,
+                          seed=11, drop_last=True)
+    reference = run_epochs(full, 20)  # 9 batches/epoch -> spans 3 epochs
+
+    # interrupted run: consume 5 batches, checkpoint, resume in a NEW loader
+    first = PrefetchLoader(data, 4, collate, shuffle=True, num_workers=2,
+                           seed=11, drop_last=True)
+    got = run_epochs(first, 5)
+    sd = first.state_dict()
+    assert sd == {"epoch": 0, "pos": 5}
+
+    resumed = PrefetchLoader(data, 4, collate, shuffle=True, num_workers=2,
+                             seed=11, drop_last=True)
+    resumed.load_state_dict(sd)
+    got += run_epochs(resumed, 15)
+    assert got == reference
+
+    # checkpoint exactly at an epoch boundary resumes into the next epoch
+    b2 = PrefetchLoader(data, 4, collate, shuffle=True, num_workers=2,
+                        seed=11, drop_last=True)
+    run_epochs(b2, 9)
+    sd2 = b2.state_dict()
+    assert sd2 == {"epoch": 0, "pos": 9}
+    r2 = PrefetchLoader(data, 4, collate, shuffle=True, num_workers=2,
+                        seed=11, drop_last=True)
+    r2.load_state_dict(sd2)
+    assert run_epochs(r2, 9) == reference[9:18]
