@@ -130,3 +130,40 @@ def test_dw_fold4_act_fused_matches_unfused(stride):
     for a, b, name in zip(gf, gr, ("dx", "dk", "dsc", "dbi")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-4, err_msg=name)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled bf16 kernels need real TPU "
+                           "(CFN_TEST_TPU=1)")
+def test_compiled_bf16_stride2_matches_interpret_on_tpu():
+    """The compiled bf16 stride-2 kernels rely on the u32 sublane-pair
+    bitcast convention (_interleave_w/_deinterleave_w: even sublane = low 16
+    bits); CI runs only the interpret-mode reshape variants, so a packing
+    mismatch on real hardware would flip even/odd columns and ship
+    undetected — this on-chip check compares compiled fwd/bwd against
+    interpret at a real trunk shape (layer1/block0: 24ch, 56->28)."""
+    rng = np.random.RandomState(0)
+    c = 24
+    b, t, h, w = 2, 8, 56, 56
+    x = jnp.asarray(rng.randn(b, t, h, w, c), jnp.bfloat16)
+    k = jnp.asarray(0.2 * rng.randn(3, 3, 3, 1, c), jnp.float32)
+    xf = to_fold4(x)
+
+    def loss(xf, k, interpret):
+        y = dw_fold4_stride2(xf, k, c, interpret)
+        return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+    (_, y_i), (gx_i, gk_i) = jax.value_and_grad(
+        lambda a, b2: loss(a, b2, True), argnums=(0, 1), has_aux=True)(xf, k)
+    (_, y_c), (gx_c, gk_c) = jax.jit(jax.value_and_grad(
+        lambda a, b2: loss(a, b2, False), argnums=(0, 1), has_aux=True))(xf, k)
+
+    np.testing.assert_allclose(
+        np.asarray(y_c, np.float32), np.asarray(y_i, np.float32),
+        rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(gx_c, np.float32), np.asarray(gx_i, np.float32),
+        rtol=5e-2, atol=5e-1)
+    np.testing.assert_allclose(np.asarray(gk_c), np.asarray(gk_i),
+                               rtol=2e-2, atol=2e-1)
