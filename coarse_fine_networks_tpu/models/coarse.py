@@ -39,6 +39,20 @@ DEFAULT_FEAT_DEPTH = {
 MIX_LEVELS = (24, 48, 96, 192)
 
 
+class _Conv3Param(nn.Module):
+    """Canonical 3x3x3 conv kernel+bias parameters (same subtree as an
+    ``nn.Conv`` of the plain path) for the fold-consuming score conv."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_normal, self.shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                       jnp.float32)
+        return k, b
+
+
 class GridPool(nn.Module):
     """Learned differentiable temporal downsampler (``GridPoolLayer``,
     ``x3d_coarse.py:355-416``).
@@ -47,18 +61,39 @@ class GridPool(nn.Module):
     a sampling CDF (inverse-transform sampling) and the feature tensor is
     linearly resampled at the CDF knots, so confident temporal regions are
     sampled densely.  Returns ``(x_pooled (B, T/r + 1, H, W, C), knots)``.
+
+    With ``fold_c`` set the input (and pooled output) are fold4-layout
+    (``ops/fold.py``) with ``fold_c`` logical channels: conv1 consumes the
+    folded rows via a scattered kernel and the temporal resample — T-linear
+    and layout-agnostic — runs in fold space, so the trunk is never unfolded
+    at full T (the unfold happens downstream at T/ratio).
     """
 
     depth: int
     ratio: int = 4
+    fold_c: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> Tuple[jax.Array, jax.Array]:
         t = x.shape[1]
         r2 = self.ratio // 2
-        g = nn.Conv(self.depth, (3, 3, 3), strides=(r2, 2, 2), padding=1,
-                    use_bias=True, name="conv1", kernel_init=kaiming_normal,
-                    dtype=x.dtype)(x)
+        if self.fold_c is not None:
+            from ..ops.fold import (FOLD, fold_gridpool_conv1_kernel,
+                                    unfold2_rows)
+
+            p_in = x.shape[-1] // FOLD
+            k, bias = _Conv3Param((3, 3, 3, self.fold_c, self.depth),
+                                  name="conv1")()
+            k2 = fold_gridpool_conv1_kernel(k, self.fold_c, self.depth, p_in)
+            g = jax.lax.conv_general_dilated(
+                x, k2.astype(x.dtype), (r2, 1, 2),
+                [(1, 1), (1, 0), (1, 1)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            g = unfold2_rows(g, self.depth) + bias.astype(g.dtype)
+        else:
+            g = nn.Conv(self.depth, (3, 3, 3), strides=(r2, 2, 2), padding=1,
+                        use_bias=True, name="conv1",
+                        kernel_init=kaiming_normal, dtype=x.dtype)(x)
         g = nn.relu(SubBatchNorm(self.depth, 1, name="bn1")(g, train))
         g = nn.Conv(self.depth, (3, 3, 3), strides=(r2, 2, 2), padding=1,
                     use_bias=True, name="conv2", kernel_init=kaiming_normal,
@@ -237,7 +272,8 @@ class CoarseNet(nn.Module):
 
         from .fine import _resolve_trunk_layout
 
-        if _resolve_trunk_layout(self.trunk_layout, x) == "fold4":
+        folded = _resolve_trunk_layout(self.trunk_layout, x) == "fold4"
+        if folded:
             from ..ops.fold import from_fold4
             from .x3d_fold import FoldedStage, FoldedStem
 
@@ -248,7 +284,9 @@ class CoarseNet(nn.Module):
                             blocks[0], stride=2, bn_splits=self.bn_splits,
                             remat=self.remat, dw_impl=fold_dw,
                             name="layer1")(x, train)
-            x = from_fold4(x, planes[0][1])
+            # the trunk stays folded through the (T-only) temporal pooling —
+            # the fold exit runs at T/ratio instead of full T, removing the
+            # full-res 56^2 relayout copies (PERF.md round-3)
         else:
             x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
                         s2d=self.stem_s2d, name="stem")(x, train)
@@ -265,7 +303,11 @@ class CoarseNet(nn.Module):
         elif self.t_pool == "stride":
             x = x[:, ::4]
         elif self.t_pool == "grid":
-            x, knots = GridPool(planes[0][1], name="pool_1")(x, train)
+            x, knots = GridPool(planes[0][1],
+                                fold_c=planes[0][1] if folded else None,
+                                name="pool_1")(x, train)
+        if folded:
+            x = from_fold4(x, planes[0][1])
 
         # Gaussian alignment fine-time ↔ coarse locations (x3d_coarse.py:650-653).
         if knots is not None:

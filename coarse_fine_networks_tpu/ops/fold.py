@@ -103,6 +103,37 @@ def refold_y2_to_y4(x: jax.Array) -> jax.Array:
     return x.reshape(b, t, hb // 2, w, 4 * p)
 
 
+def fold_gridpool_conv1_kernel(w: jax.Array, c_in: int, c_out: int,
+                               p_in: int | None = None) -> jax.Array:
+    """Canonical 3x3x3 stride-(·,2,2) pad-1 kernel ``(3,3,3,C_in,C_out)`` →
+    ``(3, 2, 3, 4*P_in, 2*C_out)`` kernel consuming fold4 rows directly.
+
+    Output row ``m = 2Z + j`` (fold4 block Z, parity j) of the plain strided
+    conv reads plain rows ``4Z + 2j - 1 + dy``; as a conv over the *block*
+    axis (stride 1, one top pad block) that is kernel-height-2 with the dy
+    taps scattered into (block-offset, y-phase) lane slots, and the two j
+    parities emitted as paired output features (row-pair / "fold2" layout,
+    :func:`unfold2_rows`).  Used by the GridPool score head so the trunk
+    never relayouts to plain at full T (``x3d_coarse.py:362-370``)."""
+    p_in = fold_pad(c_in) if p_in is None else p_in
+    k2 = jnp.zeros((3, 2, 3, FOLD * p_in, 2 * c_out), w.dtype)
+    for j in (0, 1):
+        for dy in range(3):
+            r = 2 * j - 1 + dy          # row offset within block Z
+            kb, ph = (0, 3) if r < 0 else (1, r)
+            k2 = k2.at[:, kb, :, ph * p_in:ph * p_in + c_in,
+                       j * c_out:(j + 1) * c_out].set(w[:, dy])
+    return k2
+
+
+def unfold2_rows(x: jax.Array, c: int) -> jax.Array:
+    """(B,T,Hb,W,2C) row-pair features → (B,T,2*Hb,W,C)."""
+    b, t, hb, w, _ = x.shape
+    x = x.reshape(b, t, hb, w, 2, c)
+    x = jnp.moveaxis(x, 4, 3)
+    return x.reshape(b, t, 2 * hb, w, c)
+
+
 def fold_input_clips(x: jax.Array, p_c: int = 8) -> jax.Array:
     """Pack RGB clips (B,T,H,W,3) → (B,T,H/4,W/4,128): y-fold4 × w-fold4 with
     per-cell channels padded 3→``p_c``.  Lane order: (py, wq, c) —

@@ -172,6 +172,41 @@ def test_fold_input_clips_shape():
     assert np.all(v[..., 3:] == 0)
 
 
+@pytest.mark.parametrize("hw", [8, 16])
+def test_folded_gridpool_matches_plain(hw):
+    """GridPool with fold4 input (scattered conv1 + fold-space resample)
+    equals the plain module on the same canonical parameters."""
+    from coarse_fine_networks_tpu.models import GridPool
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(2, 8, hw, hw, 24), jnp.float32)
+    plain = GridPool(24)
+    fold = GridPool(24, fold_c=24)
+    vp = plain.init({"params": jax.random.PRNGKey(8)}, x, True)
+    vf = fold.init({"params": jax.random.PRNGKey(8)}, to_fold4(x), True)
+    assert (jax.tree_util.tree_structure(vp)
+            == jax.tree_util.tree_structure(vf))
+    vp = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        / a.size, vp)
+
+    (ref, kref), up = plain.apply(vp, x, True, mutable=["batch_stats"])
+    (got, kgot), uf = fold.apply(vp, to_fold4(x), True,
+                                 mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(kgot), np.asarray(kref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(from_fold4(got, 24)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        up["batch_stats"], uf["batch_stats"])
+
+    (ref_e, _), = [plain.apply(vp, x, False)]
+    (got_e, _), = [fold.apply(vp, to_fold4(x), False)]
+    np.testing.assert_allclose(np.asarray(from_fold4(got_e, 24)),
+                               np.asarray(ref_e), rtol=2e-5, atol=2e-5)
+
+
 def test_coarse_net_fold4_matches_plain():
     """Full CoarseNet with trunk_layout='fold4' equals the plain model on the
     same variables (init with plain, apply with fold)."""
