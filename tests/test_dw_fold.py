@@ -132,6 +132,49 @@ def test_dw_fold4_act_fused_matches_unfused(stride):
                                    atol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_dw_fold4_mm_act_fused_matches_unfused(stride):
+    """Fused matmul+bn-apply+relu+conv (fwd and custom VJP) == x@wmm →
+    relu(·*sc+bi) → conv, incl. grads w.r.t. x, wmm, k, sc and bi — the
+    bottleneck's conv1 expansion (x3d_fine.py:85-97) run in-kernel."""
+    from coarse_fine_networks_tpu.ops.fold import (
+        fold_pad, fold_pointwise_kernel, pad_vec)
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+        fold_dw_mm_bnrelu_conv3d,
+    )
+
+    rng = np.random.RandomState(11)
+    c_in, c_mid = 24, C
+    x = jnp.asarray(rng.randn(1, 4, 16, 16, c_in), jnp.float32)
+    w1 = jnp.asarray(rng.randn(1, 1, 1, c_in, c_mid) / 5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, c_mid), jnp.float32)
+    p = fold_pad(c_mid)
+    sc = pad_vec(jnp.asarray(rng.rand(c_mid) + 0.5, jnp.float32), c_mid, p,
+                 0.0)
+    bi = pad_vec(jnp.asarray(rng.randn(c_mid), jnp.float32), c_mid, p, 0.0)
+
+    def loss_fused(x, w1, k, sc, bi):
+        wmm = fold_pointwise_kernel(w1, c_in, c_mid)
+        y = fold_dw_mm_bnrelu_conv3d(to_fold4(x), wmm, k, sc, bi, c_mid,
+                                     stride=stride, impl="interpret")
+        return jnp.sum(from_fold4(y, c_mid) ** 2)
+
+    def loss_ref(x, w1, k, sc, bi):
+        z = jnp.einsum("bthwi,io->bthwo", x, w1.reshape(c_in, c_mid))
+        a = jnp.maximum(to_fold4(z) * sc + bi, 0.0)
+        return jnp.sum(
+            _dwref(from_fold4(a, c_mid), k, (1, stride, stride)) ** 2)
+
+    args = (x, w1, k, sc, bi)
+    np.testing.assert_allclose(float(loss_fused(*args)),
+                               float(loss_ref(*args)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(gf, gr, ("dx", "dw1", "dk", "dsc", "dbi")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=name)
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="compiled bf16 kernels need real TPU "

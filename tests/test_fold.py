@@ -91,6 +91,36 @@ def test_folded_subbn_matches_plain(splits):
                                np.asarray(ref_e), rtol=2e-5, atol=2e-5)
 
 
+def test_folded_subbn_pre_matmul_stats():
+    """Train-mode ``pre_matmul`` Gram stats (the lane second-moment identity
+    E[(xW)²] = (Wᵀ E[xxᵀ] W)_oo) == stats of the materialised product: same
+    (sc, bi) fused vectors and same running-stat updates."""
+    from coarse_fine_networks_tpu.ops.fold import (fold_matmul,
+                                                   fold_pointwise_kernel)
+
+    rng = np.random.RandomState(13)
+    c_in, c_mid = 24, 54
+    x = jnp.asarray(rng.randn(4, 3, 8, 6, c_in), jnp.float32)
+    w1 = jnp.asarray(rng.randn(1, 1, 1, c_in, c_mid) / 5, jnp.float32)
+    wmm = fold_pointwise_kernel(w1, c_in, c_mid)
+    xf = to_fold4(x)
+    prod = fold_matmul(xf, wmm)
+
+    bn = FoldedSubBatchNorm(c_mid, 1)
+    v = bn.init({"params": jax.random.PRNGKey(0)}, prod, True)
+    (sc_r, bi_r), up_r = bn.apply(v, prod, True, scale_bias=True,
+                                  mutable=["batch_stats"])
+    (sc_g, bi_g), up_g = bn.apply(v, xf, True, scale_bias=True,
+                                  pre_matmul=wmm, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(sc_g), np.asarray(sc_r), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bi_g), np.asarray(bi_r), rtol=2e-5,
+                               atol=2e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        up_r["batch_stats"], up_g["batch_stats"])
+
+
 def test_folded_se_matches_plain():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.rand(2, 3, 8, 6, 54), jnp.float32)
