@@ -158,9 +158,14 @@ def _cycle_loader(loader):
                                "than one drop_last batch?)")
 
 
-def _measure_input_rate(loader, n_batches=6):
+def _measure_input_rate(loader, n_batches=6, warm_batches=12):
     it = _cycle_loader(loader)
-    first = next(it)  # warm the pool
+    # warm past the buffer-pool ring fill (data/bufpool.py): the first
+    # `slots` borrows per shape still allocate fresh pages, steady state
+    # starts once every ring cycles
+    first = next(it)
+    for _ in range(warm_batches - 1):
+        next(it)
     t0 = time.time()
     for _ in range(n_batches):
         next(it)

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
-from . import native
+from . import bufpool, native
 from .annotations import make_dataset
 from .transforms import RandomHorizontalFlip
 
@@ -288,18 +288,23 @@ def collate_clips(
     n, h, w = batch[0]["clips"].shape[0], *batch[0]["clips"].shape[2:4]
     c = batch[0]["label"].shape[-1]
 
-    clips = np.zeros((len(batch), n, max_t, h, w, 3), np.uint8)
-    labels = np.zeros((len(batch), max_l, c), np.float32)
-    masks = np.zeros((len(batch), max_l), np.float32)
-    clip_mask = np.zeros((len(batch), max_t), np.float32)
+    # pooled buffers: fresh page-faulted allocations dominate collate cost
+    # on virtualised hosts (see data/bufpool.py); only the padded tails are
+    # re-zeroed, the valid region is overwritten anyway
+    clips = bufpool.borrow((len(batch), n, max_t, h, w, 3), np.uint8)
+    labels = bufpool.borrow((len(batch), max_l, c), np.float32)
+    masks = bufpool.borrow((len(batch), max_l), np.float32, zero=True)
+    clip_mask = bufpool.borrow((len(batch), max_t), np.float32, zero=True)
     metas = np.stack([b["meta"] for b in batch])
     flips = np.asarray([b["flip"] for b in batch])
     for i, b in enumerate(batch):
         t = b["clips"].shape[1]
         clips[i, :, :t] = b["clips"]
+        clips[i, :, t:] = 0
         clip_mask[i, :t] = 1.0
         l = b["label"].shape[0]
         labels[i, :l] = b["label"]
+        labels[i, l:] = 0.0
         masks[i, :l] = 1.0
     # clip_mask marks valid input frames: after on-device normalisation the
     # padded tail is re-zeroed so it matches the reference's post-normalise
@@ -334,12 +339,14 @@ def collate_coarse(
     feats = {}
     for k in keys:
         c = batch[0]["feats"][k].shape[-1]
-        f = np.zeros((len(batch), max_f, 7, 7, c), np.float32)
+        f = bufpool.borrow((len(batch), max_f, 7, 7, c), np.float32)
         for i, b in enumerate(batch):
             t = min(b["feats"][k].shape[0], feat_cap)
             f[i, :t] = b["feats"][k][:t]
+            f[i, t:] = 0.0
         feats[k] = f
-    feat_mask = np.zeros((len(batch), max_f), np.float32)
+    feat_mask = bufpool.borrow((len(batch), max_f), np.float32,
+                               zero=True)
     for i, b in enumerate(batch):
         feat_mask[i, : min(b["feats"][keys[0]].shape[0], feat_cap)] = 1.0
     out["feats"] = feats

@@ -14,6 +14,8 @@ import random
 import threading
 from typing import Callable, Iterator, List
 
+from . import bufpool
+
 
 class PrefetchLoader:
     """Iterate padded batches from a map-style dataset with worker threads."""
@@ -111,6 +113,15 @@ class PrefetchLoader:
         skip, self._resume_skip = self._resume_skip, 0
         batches = batches[skip:]
         self._pos = skip
+        # size the buffer-pool rings to this loader's in-flight window:
+        # each worker holds one batch of decoded samples pre-collate, and
+        # prefetch+workers collated batches can be queued/reordered at once
+        bs = self.batch_size if self.shard is None else \
+            self.batch_size // self.shard[1]
+        bufpool.ensure_slots(
+            small=self.prefetch + self.num_workers * bs + 2,
+            large=self.prefetch + self.num_workers + 2,
+        )
         work: "queue.Queue" = queue.Queue()
         done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         results = {}

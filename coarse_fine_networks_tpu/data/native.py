@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from . import bufpool
+
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
@@ -67,6 +69,10 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.cfn_pack_num_frames.restype = ctypes.c_int
     lib.cfn_pack_num_frames.argtypes = [ctypes.c_char_p]
+    lib.cfn_set_fast_decode.restype = ctypes.c_int
+    lib.cfn_set_fast_decode.argtypes = [ctypes.c_int]
+    lib.cfn_get_fast_decode.restype = ctypes.c_int
+    lib.cfn_get_fast_decode.argtypes = []
     lib.cfn_decode_packed.restype = ctypes.c_int
     lib.cfn_decode_packed.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -81,13 +87,31 @@ def available() -> bool:
     return _load() is not None
 
 
+def set_fast_decode(enabled: bool) -> bool:
+    """Toggle the DCT-scaled partial-decode fast path (default on; env
+    ``CFN_EXACT_DECODE=1`` flips the default).  In fast mode the decoder
+    decompresses only the crop region, at the smallest libjpeg m/8 scale that
+    still covers the output size — ~3-5× less IDCT/color work at Charades
+    shapes, numerics differing from the exact path only by the resample
+    chain.  Returns the previous setting."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    return bool(lib.cfn_set_fast_decode(1 if enabled else 0))
+
+
+def fast_decode() -> bool:
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    return bool(lib.cfn_get_fast_decode())
+
+
 def decode_batch(paths: Sequence[str], out_size: int,
                  num_threads: int = 4) -> np.ndarray:
     """Decode + CenterCropScaled a list of JPEGs → ``(N, out, out, 3)`` uint8."""
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(paths)
-    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    out = bufpool.borrow((n, out_size, out_size, 3), np.uint8)
     status = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     fails = lib.cfn_decode_batch(
@@ -112,7 +136,7 @@ def decode_batch_random_crop(paths: Sequence[str], out_size: int,
     lib = _load()
     assert lib is not None, "native library unavailable"
     n = len(paths)
-    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    out = bufpool.borrow((n, out_size, out_size, 3), np.uint8)
     status = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     fails = lib.cfn_decode_batch_rc(
@@ -133,7 +157,7 @@ def decode_packed_random_crop(pack_path: str, indices: Sequence[int],
     lib = _load()
     assert lib is not None
     idx = np.asarray(indices, np.int32)
-    out = np.empty((len(idx), out_size, out_size, 3), np.uint8)
+    out = bufpool.borrow((len(idx), out_size, out_size, 3), np.uint8)
     status = np.zeros(len(idx), np.int32)
     rc = lib.cfn_decode_packed_rc(
         pack_path.encode(),
@@ -172,7 +196,7 @@ def decode_packed(pack_path: str, indices: Sequence[int], out_size: int,
     lib = _load()
     assert lib is not None
     idx = np.asarray(indices, np.int32)
-    out = np.empty((len(idx), out_size, out_size, 3), np.uint8)
+    out = bufpool.borrow((len(idx), out_size, out_size, 3), np.uint8)
     status = np.zeros(len(idx), np.int32)
     rc = lib.cfn_decode_packed(
         pack_path.encode(),

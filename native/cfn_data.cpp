@@ -42,6 +42,27 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// Fast-decode mode (default on): decode at the smallest libjpeg m/8 DCT
+// scale at which the crop box still covers the output size, and only the
+// scanline/column range the crop needs (jpeg_crop_scanline /
+// jpeg_skip_scanlines — libjpeg-turbo partial decode).  The IDCT + color
+// conversion work then tracks the *output* pixel count instead of the source
+// frame size (~3-5× less at Charades shapes: 480p source → 224² crop).
+// Numerics differ from the exact path only by the resample chain
+// (scaled-decode + bilinear vs full-decode + bilinear), well inside the
+// augmentation noise the random crop itself injects.  CFN_EXACT_DECODE=1
+// restores the full-resolution decode path.
+std::atomic<int> g_fast_decode{-1};  // -1 = read env on first use
+
+bool fast_decode_enabled() {
+  int v = g_fast_decode.load(std::memory_order_relaxed);
+  if (v < 0) {
+    v = getenv("CFN_EXACT_DECODE") == nullptr ? 1 : 0;
+    g_fast_decode.store(v, std::memory_order_relaxed);
+  }
+  return v != 0;
+}
+
 // Decode one JPEG from memory into RGB uint8 (caller-sized). Returns 0 on
 // success; fills width/height.
 int decode_rgb(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
@@ -140,6 +161,102 @@ void crop_resize(const uint8_t* src, int sw, int x1, int y1, int cw, int ch,
   }
 }
 
+// Fast path: decode ONLY the crop box, at a reduced m/8 DCT scale, straight
+// into the (out, out) destination.  `crop_mode` 0 = centre-crop-to-min-side
+// (CenterCropScaled, spatial_transforms.py:201-233), 1 = random
+// scale+position crop (MultiScaleRandomCropMultigrid,
+// spatial_transforms.py:480-509) — crop geometry is computed in FULL-RES
+// coordinates (identical to the exact path / the PIL reference) and then
+// mapped onto the scaled decode grid.  Returns 0 on success.
+int decode_crop_scaled(const uint8_t* data, size_t size, int crop_mode,
+                       double scale, double tl_x, double tl_y, uint8_t* dst,
+                       int out_size) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  const int w = cinfo.image_width, h = cinfo.image_height;
+  const int m = w < h ? w : h;
+  int crop, x1, y1;
+  if (crop_mode == 1) {
+    crop = static_cast<int>(m * scale);
+    if (crop < 1) crop = 1;
+    if (crop > m) crop = m;
+    x1 = static_cast<int>(tl_x * (w - crop));
+    y1 = static_cast<int>(tl_y * (h - crop));
+  } else {
+    crop = m;
+    x1 = (w - crop + 1) / 2;
+    y1 = (h - crop + 1) / 2;
+  }
+
+  // smallest power-of-two num/8 scale that keeps the scaled crop >=
+  // out_size (never upsample information away).  Only 8/8, 4/8, 2/8, 1/8
+  // are considered: libjpeg-turbo's SIMD IDCT covers exactly those — the
+  // intermediate m/8 scales fall back to scalar IDCT and are *slower* than
+  // full-scale SIMD decode of the trimmed region.
+  int num = 8;
+  while (num > 1 && (static_cast<int64_t>(crop) * (num / 2)) / 8 >= out_size)
+    num /= 2;
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+  if (num < 8) cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width, sh = cinfo.output_height;
+
+  // crop box on the scaled grid (floor origin, ceil extent, clamped)
+  int sx1 = static_cast<int>((static_cast<int64_t>(x1) * num) / 8);
+  int sy1 = static_cast<int>((static_cast<int64_t>(y1) * num) / 8);
+  int scw = static_cast<int>((static_cast<int64_t>(crop) * num + 7) / 8);
+  int sch = scw;
+  if (sx1 >= sw) sx1 = sw - 1;
+  if (sy1 >= sh) sy1 = sh - 1;
+  if (sx1 + scw > sw) scw = sw - sx1;
+  if (sy1 + sch > sh) sch = sh - sy1;
+  if (scw < 1) scw = 1;
+  if (sch < 1) sch = 1;
+
+  // trim to an iMCU-aligned window with a 4 px margin around the crop box:
+  // the fancy chroma upsampler needs neighbour context, so pixels adjacent
+  // to a trimmed/skipped boundary can differ from a full decode — with the
+  // margin, any contaminated pixels fall outside the sampled region
+  const int kMargin = 4;
+  int mx0 = sx1 - kMargin > 0 ? sx1 - kMargin : 0;
+  int mx1 = sx1 + scw + kMargin < sw ? sx1 + scw + kMargin : sw;
+  int my0 = sy1 - kMargin > 0 ? sy1 - kMargin : 0;
+  int my1 = sy1 + sch + kMargin < sh ? sy1 + sch + kMargin : sh;
+  JDIMENSION xoff = mx0, xwidth = mx1 - mx0;
+  jpeg_crop_scanline(&cinfo, &xoff, &xwidth);
+  const int row_w = cinfo.output_width;  // == xwidth after alignment
+
+  if (my0 > 0) jpeg_skip_scanlines(&cinfo, my0);
+  const int n_rows = my1 - my0;
+  std::vector<uint8_t> rows(static_cast<size_t>(row_w) * n_rows * 3);
+  while (cinfo.output_scanline < static_cast<JDIMENSION>(my1)) {
+    uint8_t* row =
+        rows.data() +
+        (static_cast<size_t>(cinfo.output_scanline) - my0) * row_w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  // remaining rows are never decoded
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  crop_resize(rows.data(), row_w, sx1 - static_cast<int>(xoff), sy1 - my0,
+              scw, sch, dst, out_size);
+  return 0;
+}
+
 // Centre-crop to min side then resize to (out, out) — CenterCropScaled
 // (spatial_transforms.py:201-233).
 void center_crop_scale(const uint8_t* src, int sw, int sh, uint8_t* dst,
@@ -201,6 +318,11 @@ void run_task(const DecodeTask& t) {
     data = file.data();
     size = file.size();
   }
+  if (t.out_size > 0 && fast_decode_enabled()) {
+    *t.status = decode_crop_scaled(data, size, t.crop_mode, t.scale, t.tl_x,
+                                   t.tl_y, t.out, t.out_size);
+    return;
+  }
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
   if (decode_rgb(data, size, &rgb, &w, &h) != 0) {
@@ -248,6 +370,16 @@ void run_pool(std::vector<DecodeTask>* tasks, int num_threads) {
 }  // namespace
 
 extern "C" {
+
+// Toggle the DCT-scaled partial-decode fast path at runtime (overrides the
+// CFN_EXACT_DECODE env default).  Returns the previous setting.
+int cfn_set_fast_decode(int enabled) {
+  int prev = fast_decode_enabled() ? 1 : 0;
+  g_fast_decode.store(enabled ? 1 : 0, std::memory_order_relaxed);
+  return prev;
+}
+
+int cfn_get_fast_decode() { return fast_decode_enabled() ? 1 : 0; }
 
 // Decode `n` JPEG files, centre-crop-scale each to (out_size, out_size, 3)
 // uint8, into `out` (n*out_size*out_size*3, frame-major).  `status[i]` < 0 on

@@ -17,6 +17,18 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native library unavailable")
 
 
+@pytest.fixture(autouse=True)
+def exact_decode():
+    """PIL-parity assertions run against the exact full-decode path; the
+    DCT-scaled fast path (approximate by design) has its own tests below,
+    which re-enable it explicitly.  Mini-charades frames are random noise —
+    the worst case for any resample-chain difference — so parity tolerances
+    only make sense in exact mode."""
+    prev = native.set_fast_decode(False)
+    yield
+    native.set_fast_decode(prev)
+
+
 @pytest.fixture(scope="module")
 def frames(tmp_path_factory):
     root = tmp_path_factory.mktemp("native_data")
@@ -144,3 +156,51 @@ def test_dataset_native_train_path(tmp_path):
     np.testing.assert_array_equal(a["label"], b["label"])
     diff = np.abs(a["clips"].astype(int) - b["clips"].astype(int))
     assert diff.mean() < 12, diff.mean()
+
+
+def _smooth_jpeg(tmp_path, w=640, h=480, name="smooth.jpg"):
+    """A natural-image-like (low-frequency) test frame: gradients + slow
+    sinusoids.  Noise frames maximally amplify resample-chain differences;
+    the fast path's quality contract is about real video frames."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        127 + 90 * np.sin(xx / 97.0) * np.cos(yy / 71.0),
+        127 + 110 * (xx / w - 0.5),
+        127 + 110 * (yy / h - 0.5),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    p = str(tmp_path / name)
+    Image.fromarray(img).save(p, quality=90)
+    return p
+
+
+def test_fast_decode_close_to_exact_on_smooth_image(tmp_path):
+    """DCT-scaled partial decode vs exact full decode on a smooth frame:
+    the approximation the fast path trades for ~3-5x less IDCT work stays
+    small where it matters (real frames, not noise)."""
+    p = _smooth_jpeg(tmp_path)
+    args = ([p], 224, 0.7, 0.31, 0.67)
+    native.set_fast_decode(False)
+    exact = native.decode_batch_random_crop(*args)
+    native.set_fast_decode(True)
+    fast = native.decode_batch_random_crop(*args)
+    diff = np.abs(fast[0].astype(int) - exact[0].astype(int))
+    assert diff.mean() < 3.0, diff.mean()
+
+    # centre-crop-scaled val path too
+    native.set_fast_decode(False)
+    exact = native.decode_batch([p], 224)
+    native.set_fast_decode(True)
+    fast = native.decode_batch([p], 224)
+    diff = np.abs(fast[0].astype(int) - exact[0].astype(int))
+    assert diff.mean() < 3.0, diff.mean()
+
+
+def test_fast_decode_unscaled_is_exact(frames):
+    """When the crop already fits the output (no DCT scaling possible), the
+    partial decode must be BITWISE identical to the full decode — column
+    trim + scanline skip decode the same iMCU blocks."""
+    native.set_fast_decode(False)
+    exact = native.decode_batch_random_crop(frames, 64, 0.8, 0.4, 0.2)
+    native.set_fast_decode(True)
+    fast = native.decode_batch_random_crop(frames, 64, 0.8, 0.4, 0.2)
+    np.testing.assert_array_equal(fast, exact)
