@@ -8,10 +8,12 @@ deadline and executed through one jitted program per bucket shape (the
 static-shape discipline that keeps XLA recompiles bounded).
 """
 
+from .feature_cache import CachingVideoServer, FeatureCache
 from .scheduler import (
     InferenceRequest,
     ServerOverloadedError,
     VideoServer,
 )
 
-__all__ = ["InferenceRequest", "ServerOverloadedError", "VideoServer"]
+__all__ = ["CachingVideoServer", "FeatureCache", "InferenceRequest",
+           "ServerOverloadedError", "VideoServer"]

@@ -59,6 +59,9 @@ class InferenceRequest:
     meta: Optional[np.ndarray] = None   # (4,) int32; default whole video
     future: Future = dataclasses.field(default_factory=Future)
     enqueued_at: float = dataclasses.field(default_factory=time.monotonic)
+    # set by serve.feature_cache.CachingVideoServer
+    video_id: Optional[str] = None
+    cached: Optional[tuple] = None      # (feats dict, true fine length)
 
     @property
     def label_len(self) -> int:
