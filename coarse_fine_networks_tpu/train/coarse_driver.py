@@ -34,7 +34,7 @@ from .common import (
 )
 from .config import DriverConfig
 from .fine_driver import build_transforms, _add_ap_batches
-from .optim import MultiStepSchedule
+from .optim import build_schedule
 from .state import TrainState
 from .steps import (
     bn_aggregated,
@@ -135,8 +135,7 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         variables = load_pretrained(variables, cfg.kinetics_ckpt, "coarse")
         log.info("loaded pretrained %s", cfg.kinetics_ckpt)
     state = TrainState.create(variables)
-    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
-                              warmup_steps=cfg.warmup_steps)
+    sched = build_schedule(cfg, steps_per_epoch=len(train_loader))
     state_box["sched"] = sched
     state_box["loader"] = train_loader
     state = maybe_resume(cfg, "coarse_fineFEAT_charades", state, sched,

@@ -28,6 +28,10 @@ class DriverConfig:
     init_lr: float = 0.01
     lr_milestones: Sequence[int] = (15, 20, 25)
     warmup_steps: int = 0
+    lr_schedule: str = "multistep"  # "multistep" | "cosine" (kinetics recipe)
+    total_steps: Optional[int] = None   # cosine horizon (None: derived)
+    cosine_final_lr: float = 0.0
+    label_smoothing: float = 0.0   # kinetics softmax-CE smoothing
     max_epochs: int = 200
     frames: int = 80 * 4           # train_fine.py:57
     crops: int = 1

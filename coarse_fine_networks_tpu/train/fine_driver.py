@@ -40,7 +40,7 @@ from .common import (
 )
 from .config import DriverConfig
 from .multigrid import LongCycleSchedule
-from .optim import MultiStepSchedule
+from .optim import build_schedule
 from .state import TrainState
 from .steps import (
     bn_aggregated,
@@ -148,8 +148,7 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         variables = load_pretrained(variables, cfg.kinetics_ckpt, "fine")
         log.info("loaded pretrained %s", cfg.kinetics_ckpt)
     state = TrainState.create(variables)
-    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
-                              warmup_steps=cfg.warmup_steps)
+    sched = build_schedule(cfg, steps_per_epoch=len(train_loader))
     state_box["sched"] = sched
     state_box["loader"] = train_loader
     state = maybe_resume(cfg, "fine_charades", state, sched,

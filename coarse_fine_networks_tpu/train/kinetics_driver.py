@@ -7,6 +7,13 @@ average pooling over T×H×W, ``x3d_fine.py:252-253``) under softmax
 cross-entropy, and saves checkpoints that ``DriverConfig.kinetics_ckpt``
 partial-restores into the detection drivers (the 400→157 head swap —
 ``replace_logits``, ``train_fine.py:111``).
+
+At-scale recipe knobs (the policy the reference's pretrained trunk came
+from): ``lr_schedule='cosine'`` (half-period cosine + warmup),
+``label_smoothing`` on the softmax CE, and ``multigrid=True`` to drive the
+X3D long-cycle schedule through pretraining (frames/crop/batch cycle with
+SubBN split rebuilds at phase boundaries — the same machinery as the fine
+detection driver, ``x3d_fine.py:313-318``).
 """
 
 from __future__ import annotations
@@ -28,7 +35,8 @@ from .common import preemption_guard, prepare_clips, save_train_state
 from .common import maybe_resume
 from .config import DriverConfig
 from .fine_driver import build_transforms
-from .optim import MultiStepSchedule, sgd_update
+from .multigrid import LongCycleSchedule
+from .optim import build_schedule, sgd_update
 from .state import TrainState
 from .steps import bn_aggregated, jit_cache_size
 
@@ -44,8 +52,23 @@ def _class_batch(batch, dtype=jnp.float32):
     }
 
 
+def smoothed_ce(logits: jax.Array, labels: jax.Array,
+                smoothing: float = 0.0) -> jax.Array:
+    """Per-sample label-smoothed softmax cross-entropy.
+
+    ``(1-eps)·NLL(target) + eps·mean_c(-log p_c)`` — the uniform-smoothing
+    form of the Kinetics pretraining recipe.  ``smoothing=0`` is plain CE.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if smoothing == 0.0:
+        return nll
+    return (1.0 - smoothing) * nll + smoothing * (-logp.mean(axis=1))
+
+
 def make_class_train_step(model, momentum: float = 0.9,
-                          weight_decay: float = 5e-5):
+                          weight_decay: float = 5e-5,
+                          label_smoothing: float = 0.0):
     """Jitted softmax-CE train step (fwd+bwd+SGD+BN update in one program)."""
 
     def step(state: TrainState, batch, lr, rng):
@@ -57,9 +80,7 @@ def make_class_train_step(model, momentum: float = 0.9,
                 batch["clips"], True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
             logits = logits[:, 0].astype(jnp.float32)   # (B, n_classes)
-            logp = jax.nn.log_softmax(logits)
-            ce = -jnp.take_along_axis(logp, batch["labels"][:, None],
-                                      axis=1)[:, 0]
+            ce = smoothed_ce(logits, batch["labels"], label_smoothing)
             return ce.mean(), (upd["batch_stats"], logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
@@ -83,8 +104,7 @@ def make_class_eval_step(model):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["clips"], False)
         logits = logits[:, 0].astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits)
-        ce = -jnp.take_along_axis(logp, batch["labels"][:, None], axis=1)[:, 0]
+        ce = smoothed_ce(logits, batch["labels"])
         acc = (jnp.argmax(logits, axis=1) == batch["labels"]).astype(
             jnp.float32)
         return {"loss": ce.mean(), "acc": acc.mean()}
@@ -133,8 +153,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         lambda: model.init({"params": jax.random.PRNGKey(cfg.seed)},
                            init_clips, False))()
     state = TrainState.create(variables)
-    sched = MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
-                              warmup_steps=cfg.warmup_steps)
+    sched = build_schedule(cfg, steps_per_epoch=max(
+        len(train_ds) // max(cfg.batch_size, 1), 1))
     state_box["sched"] = sched
     state_box["loader"] = train_loader
     state = maybe_resume(cfg, PREFIX, state, sched, loader=train_loader)
@@ -155,18 +175,62 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         log.info("kinetics data-parallel mesh over %d devices",
                  mesh.devices.size)
 
-    train_step = make_class_train_step(model, momentum=cfg.momentum,
-                                       weight_decay=cfg.weight_decay)
+    def build_train_step(m):
+        return make_class_train_step(m, momentum=cfg.momentum,
+                                     weight_decay=cfg.weight_decay,
+                                     label_smoothing=cfg.label_smoothing)
+
+    train_step = build_train_step(model)
     eval_step = make_class_eval_step(model)
     key = jax.random.PRNGKey(cfg.seed)
 
     results: Dict[str, float] = {}
+    # X3D long-cycle multigrid through pretraining: per phase the clip
+    # window / crop / batch change and SubBN split stats rebuild — same
+    # dormant reference hooks as the fine driver (x3d_fine.py:313-318).
+    mg = None
+    mg_state = (None, None)
+    if cfg.multigrid:
+        mg = LongCycleSchedule(cfg.frames, cfg.crop_size, cfg.batch_size,
+                               epochs_per_phase=cfg.multigrid_epochs_per_phase)
+        results_phases: list = []
+        results["multigrid_phases"] = results_phases  # mutated in place
+
+    def mg_apply(epoch_idx: int, state):
+        nonlocal model, train_step, eval_step, mg_state
+        shapes = mg.shapes(epoch_idx)
+        splits = cfg.base_bn_splits * mg.phase(epoch_idx).bn_split_scale
+        if (shapes, splits) == mg_state:
+            return state, shapes[2]
+        frames, crop, bsz = shapes
+        train_loader.dataset.frames = frames  # KineticsDataset: true length
+        train_loader.dataset.crop_size = crop
+        train_loader.batch_size = bsz
+        if splits != (mg_state[1] or cfg.base_bn_splits):
+            new_stats, _ = mg.transition(epoch_idx, state.batch_stats,
+                                         cfg.base_bn_splits)
+            if mesh is not None:
+                new_stats = replicate(new_stats, mesh)
+            state = state.replace(batch_stats=new_stats)
+            model = model.clone(bn_splits=splits)
+            train_step = build_train_step(model)
+            eval_step = make_class_eval_step(model)
+        mg_state = (shapes, splits)
+        log.info("kinetics multigrid phase @ epoch %d: frames %d crop %d "
+                 "batch %d bn_splits %d", epoch_idx, frames, crop, bsz,
+                 splits)
+        results_phases.append((epoch_idx, frames, crop, bsz, splits))
+        return state, bsz
+
     epochs = 0
     while epochs < cfg.max_epochs:
         epochs += 1
+        cur_bs = cfg.batch_size
+        if mg is not None:
+            state, cur_bs = mg_apply(epochs - 1, state)
         tot = {"loss": 0.0, "acc": 0.0, "n": 0}
         for batch in train_loader:
-            if batch["clips"].shape[0] != cfg.batch_size // \
+            if batch["clips"].shape[0] != cur_bs // \
                     jax.process_count():
                 continue
             mb = _class_batch(batch, dtype)

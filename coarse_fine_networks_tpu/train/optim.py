@@ -11,6 +11,7 @@ retrigger compilation.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, Sequence
 
 import jax
@@ -108,3 +109,60 @@ class MultiStepSchedule:
 
     def load_state_dict(self, d: Dict[str, Any]) -> None:
         self.epoch = int(d["epoch"])
+
+
+class CosineSchedule:
+    """Half-period cosine decay with linear warmup, per optimisation step.
+
+    The Kinetics pretraining policy of the X3D recipe that produced the
+    reference's pretrained trunk (``train_fine.py:104`` assumes such a
+    checkpoint; the reference ships no pretraining code).  Step-indexed, so
+    it resumes exactly from ``TrainState.step``; :meth:`epoch_step` is kept
+    for interface parity with :class:`MultiStepSchedule` (cosine ignores
+    scheduler epochs).
+    """
+
+    def __init__(self, init_lr: float, total_steps: int,
+                 warmup_steps: int = 0, final_lr: float = 0.0):
+        self.init_lr = init_lr
+        self.total_steps = max(int(total_steps), 1)
+        self.warmup_steps = warmup_steps
+        self.final_lr = final_lr
+        self.epoch = 0
+
+    def epoch_step(self) -> None:
+        self.epoch += 1
+
+    def in_warmup(self, step: int) -> bool:
+        return step < self.warmup_steps
+
+    def lr(self, step: int) -> float:
+        if self.warmup_steps and step < self.warmup_steps:
+            return self.init_lr * float(step + 1) / self.warmup_steps
+        span = max(self.total_steps - self.warmup_steps, 1)
+        t = min(max(step - self.warmup_steps, 0) / span, 1.0)
+        return self.final_lr + 0.5 * (self.init_lr - self.final_lr) * (
+            1.0 + math.cos(math.pi * t))
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        self.epoch = int(d["epoch"])
+
+
+def build_schedule(cfg, steps_per_epoch: int | None = None):
+    """Schedule factory over ``DriverConfig``: ``lr_schedule='multistep'``
+    (the reference's detection policy) or ``'cosine'`` (the Kinetics
+    pretraining policy).  The cosine horizon is ``cfg.total_steps`` when
+    set, else ``max_steps``, else ``max_epochs * steps_per_epoch``."""
+    if cfg.lr_schedule == "cosine":
+        total = cfg.total_steps or cfg.max_steps or (
+            cfg.max_epochs * max(steps_per_epoch or 1, 1))
+        return CosineSchedule(cfg.init_lr, total,
+                              warmup_steps=cfg.warmup_steps,
+                              final_lr=cfg.cosine_final_lr)
+    if cfg.lr_schedule != "multistep":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    return MultiStepSchedule(cfg.init_lr, cfg.lr_milestones,
+                             warmup_steps=cfg.warmup_steps)
