@@ -9,6 +9,7 @@ static-shape discipline that keeps XLA recompiles bounded).
 """
 
 from .feature_cache import CachingVideoServer, FeatureCache
+from .router import ModelRouter, UnknownModelError
 from .scheduler import (
     InferenceRequest,
     ServerOverloadedError,
@@ -16,4 +17,5 @@ from .scheduler import (
 )
 
 __all__ = ["CachingVideoServer", "FeatureCache", "InferenceRequest",
-           "ServerOverloadedError", "VideoServer"]
+           "ModelRouter", "ServerOverloadedError", "UnknownModelError",
+           "VideoServer"]
