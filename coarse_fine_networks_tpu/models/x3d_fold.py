@@ -30,8 +30,9 @@ from ..ops.fold import (
     refold_y2_to_y4,
     to_fold4,
 )
-from ..ops.pallas.dw_fold import (fold_dw_bnrelu_conv3d, fold_dw_conv3d,
-                                  fold_dw_mm_bnrelu_conv3d)
+from ..ops.pallas.dw_fold import (dw_fold4_mm_bn_train, fold_dw_bnrelu_conv3d,
+                                  fold_dw_conv3d, fold_dw_mm_bnrelu_conv3d,
+                                  resolve_mm_train_impl)
 from .layers import kaiming_normal, round_width, swish
 from .x3d import _Conv1sParam, _Conv1x1Param
 
@@ -77,7 +78,8 @@ class FoldedSubBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
                  scale_bias: bool = False,
-                 pre_matmul: jax.Array | None = None):
+                 pre_matmul: jax.Array | None = None,
+                 dw_fuse: tuple | None = None):
         """``scale_bias=True`` returns per-lane ``(sc, bi)`` f32 vectors such
         that ``relu(x*sc + bi)`` equals ``relu(BN(x))`` — consumed by the
         fused stencil kernels (:func:`..ops.pallas.dw_fold.
@@ -90,16 +92,26 @@ class FoldedSubBatchNorm(nn.Module):
         second-moment identity ``E[(xW)_o^2] = (Wᵀ E[xxᵀ] W)_oo`` so the conv
         output is never materialised (consumed by the matmul-fused stencil
         kernels, :func:`..ops.pallas.dw_fold.fold_dw_mm_bnrelu_conv3d`).
-        Requires ``scale_bias=True`` and batch-global stats."""
+        Requires ``scale_bias=True`` and batch-global stats.
+
+        ``dw_fuse=(wmm, w_dw, stride, interpret)``: TRAIN-mode fully-fused
+        bottleneck entry — runs ``dw_conv(relu(BN_train(x @ wmm)))`` through
+        one closed-form-VJP composite
+        (:func:`..ops.pallas.dw_fold.dw_fold4_mm_bn_train`) and returns the
+        conv output; this module supplies gamma/beta and absorbs the
+        running-stat update.  Same parameter/stat tree as every other mode."""
         s, c = self.num_splits, self.features
         dtype = jnp.float32
         lanes_out = (pre_matmul.shape[1] if pre_matmul is not None
+                     else dw_fuse[0].shape[1] if dw_fuse is not None
                      else x.shape[-1])
         p = lanes_out // FOLD
         if scale_bias and train and s != 1:
             raise ValueError("fused scale_bias needs num_splits == 1")
         if pre_matmul is not None and not scale_bias:
             raise ValueError("pre_matmul stats require scale_bias=True")
+        if dw_fuse is not None and not (train and s == 1 and self.affine):
+            raise ValueError("dw_fuse needs train, num_splits == 1, affine")
 
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), dtype))
@@ -109,6 +121,21 @@ class FoldedSubBatchNorm(nn.Module):
                                 lambda: jnp.zeros((s * c,), dtype))
         sp_var = self.variable("batch_stats", "split_var",
                                lambda: jnp.ones((s * c,), dtype))
+
+        if dw_fuse is not None:
+            scale = self.param("scale", nn.initializers.ones, (c,), dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), dtype)
+            wmm, w_dw, stride, interpret = dw_fuse
+            y, mean, var = dw_fold4_mm_bn_train(
+                x, wmm, w_dw, scale, bias, c, stride, self.eps, interpret)
+            if not self.is_initializing():
+                count = (x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+                         * FOLD)
+                unbiased = var * (count / max(count - 1, 1))
+                m = self.momentum
+                sp_mean.value = (1 - m) * sp_mean.value + m * mean
+                sp_var.value = (1 - m) * sp_var.value + m * unbiased
+            return y
 
         orig_dtype = x.dtype
         xf = x.astype(dtype)
@@ -252,22 +279,31 @@ class FoldedBottleneck(nn.Module):
         if not train:
             # eval/serving: conv1's block-diagonal matmul + bn1-apply + relu
             # all fused into the stencil kernels' tile pass — the expanded
-            # c_mid tensor is never materialised in HBM.  (In train the same
-            # fusion is a measured net loss: the batch-stats pass — the
-            # ``pre_matmul`` Gram — plus the stats-path cotangent adds cost
-            # more HBM traffic than the fused forward saves; see PERF.md.)
+            # c_mid tensor is never materialised in HBM.
             sc, bi = bn1(x, train, scale_bias=True, pre_matmul=wmm)
             out = fold_dw_mm_bnrelu_conv3d(x, wmm, w2.astype(x.dtype), sc,
                                            bi, c_mid, stride=self.stride,
                                            impl=self.dw_impl)
         elif self.bn_splits == 1:
-            # train: bn1-apply + relu fused into the stencil kernels' tile
-            # load — the normalized full-res tensor is never materialised
-            out = fold_matmul(x, wmm)
-            sc, bi = bn1(out, train, scale_bias=True)
-            out = fold_dw_bnrelu_conv3d(out, w2.astype(out.dtype), sc, bi,
-                                        c_mid, stride=self.stride,
-                                        impl=self.dw_impl)
+            fuse = resolve_mm_train_impl(x, self.stride, self.dw_impl)
+            if fuse is not None:
+                # train: the whole entry (matmul + batch-stats + bn-apply +
+                # relu + stencil) as one closed-form-VJP composite
+                # (dw_fold4_mm_bn_train).  Compiled dispatch is opt-in —
+                # measured net loss on v5e despite byte parity (PERF.md
+                # round-3b); interpret mode keeps the path tested.
+                out = bn1(x, train, dw_fuse=(wmm, w2.astype(x.dtype),
+                                             self.stride,
+                                             fuse == "interpret"))
+            else:
+                # bn1-apply + relu fused into the stencil kernels' tile
+                # load — the normalized full-res tensor is never
+                # materialised
+                out = fold_matmul(x, wmm)
+                sc, bi = bn1(out, train, scale_bias=True)
+                out = fold_dw_bnrelu_conv3d(out, w2.astype(out.dtype), sc,
+                                            bi, c_mid, stride=self.stride,
+                                            impl=self.dw_impl)
         else:
             out = fold_matmul(x, wmm)
             out = nn.relu(bn1(out, train))

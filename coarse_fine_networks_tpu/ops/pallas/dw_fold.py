@@ -33,6 +33,7 @@ fold-space 2x2 subsample.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -40,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fold import (FOLD, fold_matmul, fold_pad, from_fold4, refold_y2_to_y4,
-                    to_fold4)
+from ..fold import (FOLD, fold_matmul, fold_pad, from_fold4, pad_vec,
+                    refold_y2_to_y4, to_fold4)
 
 F32 = jnp.float32
 
@@ -376,13 +377,22 @@ def _prefetch_pipeline(g, n_b, n_t, n_h, tiles, sems, zero_fn, io_fn):
 
 
 def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
-                stride2=False, act=False, mm=False):
+                stride2=False, act=False, mm=False, dxmask=False):
     """Stride-1 stencil with a two-slot pipelined input tile: each grid step
     prefetches the NEXT step's haloed tile while computing the current one,
     hiding the DMA latency behind the (VPU-bound) tap loop.  With ``mm`` the
     preceding pointwise conv (lanes_in -> lanes) runs in-kernel on the MXU
-    (:func:`_mm_act_tile`); ``lanes``/``p`` describe the tap (output) lanes."""
-    if mm:
+    (:func:`_mm_act_tile`); ``lanes``/``p`` describe the tap (output) lanes.
+
+    ``dxmask``: the dx pass of the matmul-fused entry — the stencil runs
+    over the upstream cotangent and the output is masked in-kernel by the
+    relu derivative recomputed from the *pre-matmul* input ``x2`` (an MXU
+    matmul per strip), so neither ``da``, the pred mask, nor the masked
+    product round-trips HBM as separate tensors."""
+    if dxmask:
+        (w_ref, wmm_ref, sc_ref, bi_ref, x_hbm, x2_hbm, o_ref, tiles,
+         x2_tiles, sem2, xsem) = args
+    elif mm:
         w_ref, wmm_ref, sc_ref, bi_ref, x_hbm, o_ref, tiles, a_tile, sem2 \
             = args
     elif act:
@@ -396,6 +406,19 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
     in_tile = _prefetch_pipeline(
         g, n_b, n_t, n_h, tiles, sem2, _zero_frame,
         lambda tile, sm, b2, t2, h2, ph: io(tile, sm, b2, t2, h2, phases=ph))
+    x2_tile = None
+    if dxmask:
+        def x2_io(tile, sm, b2, t2, h2, phases):
+            d = pltpu.make_async_copy(
+                x2_hbm.at[b2, pl.ds(t2 * tt, tt), pl.ds(h2 * ht, ht), :, :],
+                tile, sm)
+            if "start" in phases:
+                d.start()
+            if "wait" in phases:
+                d.wait()
+
+        x2_tile = _prefetch_pipeline(
+            g, n_b, n_t, n_h, x2_tiles, xsem, lambda t: None, x2_io)
     if mm:
         _mm_act_tile(in_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
                      n_t, n_h, w)
@@ -419,6 +442,16 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
         acc = jnp.zeros((tt, sh, w, lanes), F32)
         for tap, slab in _taps(in_tile, h, sh, p, lanes, tt, w, interpret):
             acc += slab * w_ref[tap, :][None, None, None, :]
+        if dxmask:
+            # relu' from the recomputed product: the same per-element MXU
+            # dot as the forward's _mm_act_tile, so the mask agrees with
+            # the forward's activation decision
+            xs = x2_tile[:, pl.ds(h, sh), :, :]
+            zr = jnp.dot(xs.reshape(tt * sh * w, xs.shape[-1]), wmm_ref[...],
+                         preferred_element_type=F32)
+            zh = zr * sc_ref[...][None, :] + bi_ref[...][None, :]
+            keep = (zh > 0).reshape(tt, sh, w, lanes)
+            acc = jnp.where(keep, acc, 0.0)
         o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
 
 
@@ -518,6 +551,45 @@ def _dw_fold4_pcall(x: jax.Array, w_lane: jax.Array, interpret: bool,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ops)
+
+
+def _dx_mask_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool,
+                   sc=None, bi=None, wmm=None, x2=None) -> jax.Array:
+    """dx of the matmul-fused entry with the relu mask applied in-kernel:
+    ``dam = stencil(g, w_flip) ⊙ 1[(x2 @ wmm)·sc + bi > 0]``.  ``g`` is the
+    upstream cotangent at lanes_out; ``x2`` the pre-matmul input at
+    lanes_in (read non-haloed — the mask is pointwise)."""
+    b, t, hb, w, lanes = g.shape
+    lanes_in = x2.shape[-1]
+    p = lanes // FOLD
+    tt, ht = _pick_tiles(t, hb, w, lanes, g.dtype.itemsize, mm_lanes=lanes)
+    n_t, n_h = t // tt, hb // ht
+
+    kernel = functools.partial(
+        _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
+        n_b=b, interpret=interpret, dxmask=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),    # g stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x2 stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, tt, ht, w, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(g.shape, g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), g.dtype),
+            pltpu.VMEM((2, tt, ht, w, lanes_in), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, wmm, sc, bi, g, x2)
 
 
 def _dw_fold4_wgrad_pcall(x: jax.Array, g: jax.Array, interpret: bool,
@@ -703,14 +775,27 @@ _DX_PICKS = {
 }
 
 
-def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tiles, sem2, *, tt, ht, w2, lanes,
-                  p, n_t, n_h, n_b, interpret):
+def _dx_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
+                  mask=False):
+    if mask:
+        (w_ref, wmm_ref, sc_ref, bi_ref, g_hbm, x_hbm, o_ref, g_tiles,
+         x_tiles, sem2, xsem) = args
+    else:
+        w_ref, g_hbm, o_ref, g_tiles, sem2 = args
     b, ti, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     g_idx = (b * n_t + ti) * n_h + hi
     g_tile = _prefetch_pipeline(
         g_idx, n_b, n_t, n_h, g_tiles, sem2, _zero_frame,
         lambda tile, sm, b2, t2, h2, ph: _halo_io(
             g_hbm, tile, sm, b2, t2, h2, tt, ht, w2, n_t, n_h, ph))
+    x_tile = None
+    if mask:
+        # pre-matmul input at FULL res for the in-kernel relu' (dxmask in
+        # _fwd_kernel, stride-2 shape): even/odd columns mask acc_e/acc_o
+        x_tile = _prefetch_pipeline(
+            g_idx, n_b, n_t, n_h, x_tiles, xsem, _zero_frame_x2,
+            lambda tile, sm, b2, t2, h2, ph: _x2_io(
+                x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
 
     for z in range(ht):
         slabs = {0: g_tile[:, 1 + z, :, :], 1: g_tile[:, 2 + z, :, :]}
@@ -729,6 +814,19 @@ def _dx_s2_kernel(w_ref, g_hbm, o_ref, g_tiles, sem2, *, tt, ht, w2, lanes,
                               * w_ref[base, :][None, None, :])
                     acc_o += (a[:, 8:8 + w2, :]
                               * w_ref[base + 2, :][None, None, :])
+            if mask:
+                xs = x_tile[pl.ds(1, tt), 1 + 2 * z + o, pl.ds(8, 2 * w2), :]
+                ex, ox = _deinterleave_w(xs, interpret)
+                ze = jnp.dot(ex.reshape(tt * w2, ex.shape[-1]), wmm_ref[...],
+                             preferred_element_type=F32)
+                ke = (ze * sc_ref[...][None, :]
+                      + bi_ref[...][None, :]).reshape(tt, w2, lanes) > 0
+                acc_e = jnp.where(ke, acc_e, 0.0)
+                zo = jnp.dot(ox.reshape(tt * w2, ox.shape[-1]), wmm_ref[...],
+                             preferred_element_type=F32)
+                ko = (zo * sc_ref[...][None, :]
+                      + bi_ref[...][None, :]).reshape(tt, w2, lanes) > 0
+                acc_o = jnp.where(ko, acc_o, 0.0)
             o_ref[0, :, 2 * z + o, :, :] = _interleave_w(
                 acc_e.astype(o_ref.dtype), acc_o.astype(o_ref.dtype),
                 interpret)
@@ -1008,6 +1106,46 @@ def _dx_s2_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool
     )(w_lane, g)
 
 
+def _dx_s2_mask_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool,
+                      sc=None, bi=None, wmm=None, x2=None) -> jax.Array:
+    """Stride-2 dx with the relu mask applied in-kernel (the s2 shape of
+    :func:`_dx_mask_pcall`): ``g`` half-res cotangent, ``x2`` the full-res
+    pre-matmul input; the masked full-res ``dam`` is the only HBM write."""
+    b, t, hb2, w2, lanes = g.shape
+    lanes_in = x2.shape[-1]
+    p = lanes // FOLD
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes_in, g.dtype.itemsize,
+                            mm_lanes=lanes)
+    n_t, n_h = t // tt, hb2 // ht
+    kernel = functools.partial(
+        _dx_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
+        n_h=n_h, n_b=b, interpret=interpret, mask=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tt, 2 * ht, 2 * w2, lanes),
+                               lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, 2 * hb2, 2 * w2, lanes),
+                                       g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + 2, ht + 2, w2 + 16, lanes), g.dtype),
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes_in),
+                       x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, wmm, sc, bi, g, x2)
+
+
 def _wgrad_s2_pcall(x: jax.Array, g: jax.Array, interpret: bool,
                     sc=None, bi=None, wmm=None) -> jax.Array:
     b, t, hb2, w2, lanes = g.shape
@@ -1083,6 +1221,10 @@ def _sp_variants(kind: str):
             "plain": "b t h w l, b t h w l -> k l",
             "act": "b t h w l, b t h w l, l, l -> k l",
             "mm": "b t h w i, b t h w o, i o, o, o -> k o"}),
+        # g, w_lane_flip, wmm, sc, bi, x2 -> masked dx (both g and x2
+        # batched; the mask is recomputed in-kernel from x2)
+        "dx_mask": (_dx_mask_pcall, True, (0, 5), {
+            "mm_x": "b t h w o, k o, i o, o, o, b t h w i -> b t h w o"}),
         # x full-res, w_lane -> y at (hb/2, w/2)
         "fwd_s2": (_fwd_s2_direct_pcall, True, (0,), {
             "plain": "b t h w l, k l -> b t y j l",
@@ -1091,6 +1233,9 @@ def _sp_variants(kind: str):
         # g half-res, w_lane -> dx full-res
         "dx_s2": (_dx_s2_pcall, True, (0,), {
             "plain": "b t h w l, k l -> b t y j l"}),
+        # g half-res, w_lane, wmm, sc, bi, x2 full-res -> masked dx full-res
+        "dx_s2_mask": (_dx_s2_mask_pcall, True, (0, 5), {
+            "mm_x": "b t h w o, k o, i o, o, o, b t y j i -> b t y j o"}),
         # x full-res, g half-res -> (27, lanes) tap sums
         "wgrad_s2": (_wgrad_s2_pcall, False, (0, 1), {
             "plain": "b t h w l, b t y j l -> k l",
@@ -1107,7 +1252,10 @@ def _sp_kernel(kind: str, mode: str, interpret: bool):
     impl, out_batched, batch_args, rules = _sp_variants(kind)
     rule = rules[mode]
 
-    if mode == "mm":
+    if mode == "mm_x":
+        def fn(a0, a1, wmm, sc, bi, x2):
+            return impl(a0, a1, interpret, sc=sc, bi=bi, wmm=wmm, x2=x2)
+    elif mode == "mm":
         def fn(a0, a1, wmm, sc, bi):
             return impl(a0, a1, interpret, sc=sc, bi=bi, wmm=wmm)
     elif mode == "act":
@@ -1187,8 +1335,19 @@ def _fwd_s2_direct_raw(x, w_lane, interpret, sc=None, bi=None, wmm=None):
     return _sp_kernel("fwd_s2", "plain", interpret)(x, w_lane)
 
 
+def _dx_mask_raw(g, w_lane, interpret, sc=None, bi=None, wmm=None, x2=None):
+    return _sp_kernel("dx_mask", "mm_x", interpret)(g, w_lane, wmm, sc, bi,
+                                                    x2)
+
+
 def _dx_s2_raw(g, w_lane, interpret):
     return _sp_kernel("dx_s2", "plain", interpret)(g, w_lane)
+
+
+def _dx_s2_mask_raw(g, w_lane, interpret, sc=None, bi=None, wmm=None,
+                    x2=None):
+    return _sp_kernel("dx_s2_mask", "mm_x", interpret)(g, w_lane, wmm, sc,
+                                                       bi, x2)
 
 
 def _wgrad_s2_raw(x, g, interpret, sc=None, bi=None, wmm=None):
@@ -1479,3 +1638,161 @@ def fold_dw_mm_bnrelu_conv3d(x: jax.Array, wmm: jax.Array, w: jax.Array,
                                impl == "interpret")
     y = fold_matmul(x, wmm)
     return fold_dw_bnrelu_conv3d(y, w, sc, bi, c, stride=stride, impl=impl)
+
+
+# ---- TRAIN-mode fused bottleneck entry --------------------------------------
+#
+# y = dw_conv(relu(BN_train(x @ wmm))) with BN *batch* statistics — the last
+# unfused piece of the bottleneck entry in training.  Fusing only the forward
+# (round-3 experiment) was a measured net loss because the stats and their
+# cotangent went through autodiff: the Gram backward re-read and re-wrote the
+# trunk tensor.  This composite spans matmul + train-stats + normalize + relu
+# + stencil in ONE custom_vjp:
+#
+# * forward: channel moments from (Σx, xᵀx) via the lane identities
+#   E[(xW)_o] = (E[x]W)_o and E[(xW)_o²] = (Wᵀ E[xxᵀ] W)_oo — the expanded
+#   c_mid tensor is never materialised; then the matmul-fused stencil kernel.
+# * backward: the closed-form BN gradient, rearranged so every stats
+#   correction is small-matrix algebra.  With per-channel scalars
+#   S1 = Σdam, S2 = r(Σ dam·z − μS1) and A = sc(rμS2 − S1)/N,
+#   B = −sc·r·S2/N:
+#       dz = sc·dam + A + B·z
+#       dx = dam @ (W·sc)ᵀ + x @ (W diag(B) Wᵀ) + W @ A
+#       dW = sc·(xᵀdam) + (Σx) ⊗ A + (xᵀx W) diag(B)
+#   so the only full-tensor passes are the dx stencil kernel, one fused
+#   mask-select producing dam, two MXU matmuls, and the wgrad kernel; the
+#   xᵀx Gram and Σx are saved from the forward (Li², bytes).
+
+
+def _mm_bn_stats(x, wmm, c, eps, gamma, beta):
+    """Train-mode moments of ``x @ wmm`` without materialising the product;
+    returns per-channel (mean, var, r) and per-lane (sc, bi) apply vectors,
+    plus the (Σx, xᵀx, N) the closed-form backward reuses."""
+    p = wmm.shape[1] // FOLD
+    wf = wmm.astype(F32)
+    # Gram on the original dtype (bf16 MXU rate, f32 accumulation)
+    gram = jnp.einsum("bthwi,bthwj->ij", x, x, preferred_element_type=F32)
+    s1 = jnp.sum(x, axis=(0, 1, 2, 3), dtype=F32)
+    n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3] * FOLD
+    sz = s1 @ wf
+    szz = jnp.einsum("io,ij,jo->o", wf, gram, wf, preferred_element_type=F32)
+    pool = lambda v: v.reshape(FOLD, p).sum(axis=0)[:c]  # noqa: E731
+    mean = pool(sz) / n
+    var = pool(szz) / n - jnp.square(mean)
+    r = jax.lax.rsqrt(var + eps)
+    sc_c = gamma * r
+    bi_c = beta - mean * sc_c
+    return (mean, var, r, pad_vec(sc_c, c, p, 0.0),
+            pad_vec(bi_c, c, p, 0.0), gram, s1, n)
+
+
+def _mm_bn_train_primal(x, wmm, w, gamma, beta, c, stride, eps, interpret):
+    mean, var, r, sc, bi, gram, s1, n = _mm_bn_stats(x, wmm, c, eps, gamma,
+                                                     beta)
+    p = wmm.shape[1] // FOLD
+    w_lane = _prep_lane_weights(w, c, p)
+    if stride == 1:
+        y = _dw_fold4_raw(x, w_lane, interpret, sc=sc, bi=bi, wmm=wmm)
+    else:
+        y = _fwd_s2_direct_raw(x, w_lane, interpret, sc=sc, bi=bi, wmm=wmm)
+    return y, mean, var, (r, sc, bi, gram, s1, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def dw_fold4_mm_bn_train(x: jax.Array, wmm: jax.Array, w: jax.Array,
+                         gamma: jax.Array, beta: jax.Array, c: int,
+                         stride: int = 1, eps: float = 1e-5,
+                         interpret: bool = False):
+    """``(y, mean, var)`` of ``dw_conv3x3x3(relu(BN_train(x @ wmm)))``.
+
+    ``mean``/``var`` are the batch statistics (for the running-average
+    update — they carry no gradient; the loss reaches them only through the
+    normalized activations, which the custom backward handles in closed
+    form).  Batch-global stats only (``SubBN num_splits == 1``)."""
+    y, mean, var, _ = _mm_bn_train_primal(x, wmm, w, gamma, beta, c, stride,
+                                          eps, interpret)
+    return y, mean, var
+
+
+def _mm_bn_train_fwd(x, wmm, w, gamma, beta, c, stride, eps, interpret):
+    y, mean, var, aux = _mm_bn_train_primal(x, wmm, w, gamma, beta, c,
+                                            stride, eps, interpret)
+    r, sc, bi, gram, s1, n = aux
+    return (y, mean, var), (x, wmm, w, gamma, mean, r, sc, bi, gram, s1, n)
+
+
+def _mm_bn_train_bwd(c, stride, eps, interpret, res, cts):
+    gy = cts[0]  # mean/var cotangents are structurally zero (running stats)
+    x, wmm, w, gamma, mean, r, sc, bi, gram, s1, n = res
+    p = wmm.shape[1] // FOLD
+    if stride == 1:
+        # masked dx in ONE kernel pass: neither da, the pred mask, nor the
+        # recomputed product round-trips HBM (measured: the XLA-level
+        # select materialised all three as separate full-res tensors)
+        w_flip = jnp.flip(w, axis=(0, 1, 2))
+        dam = _dx_mask_raw(gy, _prep_lane_weights(w_flip, c, p), interpret,
+                           sc=sc, bi=bi, wmm=wmm, x2=x)
+        dk_lane = _dw_fold4_wgrad_raw(x, gy, interpret, sc=sc, bi=bi, wmm=wmm)
+    else:
+        dam = _dx_s2_mask_raw(gy, _prep_lane_weights(w, c, p), interpret,
+                              sc=sc, bi=bi, wmm=wmm, x2=x)
+        dk_lane = _wgrad_s2_raw(x, gy, interpret, sc=sc, bi=bi, wmm=wmm)
+    dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
+    dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+
+    wf = wmm.astype(F32)
+    s1d_l = jnp.sum(dam, axis=(0, 1, 2, 3), dtype=F32)
+    gmat = jnp.einsum("bthwi,bthwo->io", x, dam, preferred_element_type=F32)
+    tz_l = jnp.sum(wf * gmat, axis=0)          # Σ_pos dam_l·z_l = ⟨W, G⟩_l
+    pool = lambda v: v.reshape(FOLD, p).sum(axis=0)[:c]  # noqa: E731
+    s1d = pool(s1d_l)
+    s2 = r * (pool(tz_l) - mean * s1d)
+    dgamma = s2.astype(gamma.dtype)
+    dbeta = s1d.astype(gamma.dtype)
+
+    sc_c = gamma * r
+    a_lane = pad_vec(sc_c * (r * mean * s2 - s1d) / n, c, p, 0.0)
+    b_lane = pad_vec(-(sc_c * r * s2) / n, c, p, 0.0)
+
+    w_sc = (wf * sc[None, :]).astype(x.dtype)
+    m_corr = ((wf * b_lane[None, :]) @ wf.T).astype(x.dtype)
+    v_corr = wf @ a_lane                                   # (Li,) f32
+    dx = (jnp.einsum("bthwo,io->bthwi", dam, w_sc,
+                     preferred_element_type=F32)
+          + jnp.einsum("bthwi,ij->bthwj", x, m_corr,
+                       preferred_element_type=F32)
+          + v_corr).astype(x.dtype)
+    dwmm = (gmat * sc[None, :] + s1[:, None] * a_lane[None, :]
+            + (gram @ wf) * b_lane[None, :]).astype(wmm.dtype)
+    return dx, dwmm, dk, dgamma, dbeta
+
+
+dw_fold4_mm_bn_train.defvjp(_mm_bn_train_fwd, _mm_bn_train_bwd)
+
+
+def resolve_mm_train_impl(x: jax.Array, stride: int, impl: str):
+    """Resolve the train-composite dispatch: ``'pallas'`` / ``'interpret'``
+    when the matmul-fused stencil kernels can run at this shape, else
+    ``None`` (caller keeps the unfused matmul + stats + act-fused path).
+
+    Compiled dispatch is OPT-IN (``CFN_MM_BN_TRAIN=1``; ``=s1`` restricts
+    to stride-1 blocks): on v5e the composite measured a net LOSS at the
+    bench config in every variant — 116.3 ms unfused vs 122.8 (XLA-select
+    mask), 117.4 (s1 in-kernel mask), 118.9 ms (both strides in-kernel) —
+    the in-kernel mask matmuls serialize with the VPU-bound tap loop even
+    after program bytes reach parity (70.94 GB both ways); see PERF.md
+    round-3b.  Explicit ``impl='interpret'`` always resolves (CPU tests)."""
+    if impl == "interpret":
+        return "interpret"
+    knob = os.environ.get("CFN_MM_BN_TRAIN", "0")
+    if knob == "0" or (knob == "s1" and stride != 1):
+        return None
+    if impl == "auto":
+        impl = "mixed" if jax.default_backend() == "tpu" else "sandwich"
+    if impl == "mixed":
+        if stride == 1:
+            ok = x.shape[3] % 8 == 0
+        else:
+            ok = x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)
+        impl = "pallas" if ok else "sandwich"
+    return impl if impl == "pallas" else None

@@ -175,6 +175,59 @@ def test_dw_fold4_mm_act_fused_matches_unfused(stride):
                                    atol=5e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_dw_fold4_mm_bn_train_matches_reference(stride):
+    """TRAIN-mode fused bottleneck entry (matmul + batch-stats + BN + relu +
+    conv in one closed-form-VJP composite) == the plain-layout reference
+    math under autodiff: forward, the (mean, var) batch statistics, and
+    grads w.r.t. x, w1, k, gamma and beta."""
+    from coarse_fine_networks_tpu.ops.fold import fold_pointwise_kernel
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+        dw_fold4_mm_bn_train,
+    )
+
+    rng = np.random.RandomState(13)
+    c_in, c_mid, eps = 24, C, 1e-5
+    x = jnp.asarray(rng.randn(2, 3, 16, 16, c_in), jnp.float32)
+    w1 = jnp.asarray(rng.randn(1, 1, 1, c_in, c_mid) / 5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, c_mid), jnp.float32)
+    gamma = jnp.asarray(rng.rand(c_mid) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(c_mid) / 3, jnp.float32)
+
+    def fused(x, w1, k, gamma, beta):
+        wmm = fold_pointwise_kernel(w1, c_in, c_mid)
+        y, mean, var = dw_fold4_mm_bn_train(to_fold4(x), wmm, k, gamma,
+                                            beta, c_mid, stride, eps, True)
+        return jnp.sum(from_fold4(y, c_mid) ** 2), (mean, var)
+
+    def ref(x, w1, k, gamma, beta):
+        z = jnp.einsum("bthwi,io->bthwo", x, w1.reshape(c_in, c_mid))
+        mean = z.mean(axis=(0, 1, 2, 3))
+        var = jnp.square(z).mean(axis=(0, 1, 2, 3)) - jnp.square(mean)
+        a = jnp.maximum((z - mean) * jax.lax.rsqrt(var + eps) * gamma
+                        + beta, 0.0)
+        return jnp.sum(_dwref(a, k, (1, stride, stride)) ** 2), (mean, var)
+
+    args = (x, w1, k, gamma, beta)
+    (lf, (mf, vf)) = fused(*args)
+    (lr, (mr, vr)) = ref(*args)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mr), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vr), rtol=1e-4,
+                               atol=1e-5)
+    gf = jax.grad(lambda *a: fused(*a)[0], argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(lambda *a: ref(*a)[0], argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(gf, gr, ("dx", "dw1", "dk", "dgamma", "dbeta")):
+        b = np.asarray(b)
+        # atol scaled to the gradient's magnitude: BN's mean-subtraction
+        # makes dw1 a near-cancelling sum of three large terms, so f32
+        # associativity differences show up as small absolute noise there
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3,
+                                   atol=1e-4 * max(np.abs(b).max(), 1.0),
+                                   err_msg=name)
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="compiled bf16 kernels need real TPU "
