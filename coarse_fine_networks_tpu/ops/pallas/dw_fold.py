@@ -377,7 +377,8 @@ def _prefetch_pipeline(g, n_b, n_t, n_h, tiles, sems, zero_fn, io_fn):
 
 
 def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
-                stride2=False, act=False, mm=False, dxmask=False):
+                stride2=False, act=False, mm=False, dxmask=False,
+                actmask=False):
     """Stride-1 stencil with a two-slot pipelined input tile: each grid step
     prefetches the NEXT step's haloed tile while computing the current one,
     hiding the DMA latency behind the (VPU-bound) tap loop.  With ``mm`` the
@@ -389,7 +390,10 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
     relu derivative recomputed from the *pre-matmul* input ``x2`` (an MXU
     matmul per strip), so neither ``da``, the pred mask, nor the masked
     product round-trips HBM as separate tensors."""
-    if dxmask:
+    if actmask:
+        (w_ref, sc_ref, bi_ref, x_hbm, x2_hbm, o_ref, r_ref, tiles,
+         x2_tiles, sem2, xsem) = args
+    elif dxmask:
         (w_ref, wmm_ref, sc_ref, bi_ref, x_hbm, x2_hbm, o_ref, tiles,
          x2_tiles, sem2, xsem) = args
     elif mm:
@@ -407,7 +411,7 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
         g, n_b, n_t, n_h, tiles, sem2, _zero_frame,
         lambda tile, sm, b2, t2, h2, ph: io(tile, sm, b2, t2, h2, phases=ph))
     x2_tile = None
-    if dxmask:
+    if dxmask or actmask:
         def x2_io(tile, sm, b2, t2, h2, phases):
             d = pltpu.make_async_copy(
                 x2_hbm.at[b2, pl.ds(t2 * tt, tt), pl.ds(h2 * ht, ht), :, :],
@@ -419,6 +423,10 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
 
         x2_tile = _prefetch_pipeline(
             g, n_b, n_t, n_h, x2_tiles, xsem, lambda t: None, x2_io)
+    if actmask:
+        @pl.when(jnp.logical_and(ti == 0, hi == 0))
+        def _():
+            r_ref[...] = jnp.zeros(r_ref.shape, r_ref.dtype)
     if mm:
         _mm_act_tile(in_tile, a_tile, wmm_ref, sc_ref, bi_ref, ti, hi,
                      n_t, n_h, w)
@@ -452,6 +460,18 @@ def _fwd_kernel(*args, tt, ht, w, lanes, p, n_t, n_h, n_b, interpret,
             zh = zr * sc_ref[...][None, :] + bi_ref[...][None, :]
             keep = (zh > 0).reshape(tt, sh, w, lanes)
             acc = jnp.where(keep, acc, 0.0)
+        elif actmask:
+            # the act path's whole XLA backward epilogue, in-kernel: relu'
+            # is elementwise from the materialised BN input (no matmul),
+            # the output is dam·sc, and the (dsc, dbi) reductions
+            # accumulate into per-batch partials
+            sc_v = sc_ref[...][None, None, None, :]
+            xs = x2_tile[:, pl.ds(h, sh), :, :].astype(F32)
+            zh = xs * sc_v + bi_ref[...][None, None, None, :]
+            dam = jnp.where(zh > 0, acc, 0.0)
+            r_ref[0, 0, :] += jnp.sum(dam * xs, axis=(0, 1, 2))
+            r_ref[0, 1, :] += jnp.sum(dam, axis=(0, 1, 2))
+            acc = dam * sc_v
         o_ref[0, :, pl.ds(h, sh), :, :] = acc.astype(o_ref.dtype)
 
 
@@ -590,6 +610,96 @@ def _dx_mask_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(w_lane, wmm, sc, bi, g, x2)
+
+
+def _dx_act_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool,
+                  sc=None, bi=None, x2=None):
+    """dx of the act-fused conv with the whole XLA backward epilogue run
+    in-kernel: relu' from the materialised BN input ``x2`` (elementwise —
+    no matmul), output ``dam·sc``, and per-batch ``(dsc, dbi)`` partial
+    reductions as a second output ``(B, 2, lanes)``."""
+    b, t, hb, w, lanes = g.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles(t, hb, w, lanes, g.dtype.itemsize, mm_lanes=lanes)
+    n_t, n_h = t // tt, hb // ht
+
+    kernel = functools.partial(
+        _fwd_kernel, tt=tt, ht=ht, w=w, lanes=lanes, p=p, n_t=n_t, n_h=n_h,
+        n_b=b, interpret=interpret, actmask=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),    # g stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x2 stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tt, ht, w, lanes),
+                         lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, lanes), lambda bi, ti, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(g.shape, g.dtype),
+            jax.ShapeDtypeStruct((b, 2, lanes), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + 2, ht + 2, w + 16, lanes), g.dtype),
+            pltpu.VMEM((2, tt, ht, w, lanes), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, sc, bi, g, x2)
+
+
+def _dx_s2_act_pcall(g: jax.Array, w_lane: jax.Array, interpret: bool,
+                     sc=None, bi=None, x2=None):
+    """Stride-2 shape of :func:`_dx_act_pcall`: ``g`` half-res, ``x2`` the
+    full-res BN input; outputs (masked ``dam·sc`` full-res, per-batch
+    ``(dsc, dbi)`` partials)."""
+    b, t, hb2, w2, lanes = g.shape
+    p = lanes // FOLD
+    tt, ht = _pick_tiles_s2(t, hb2, w2, lanes, g.dtype.itemsize,
+                            mm_lanes=lanes)
+    n_t, n_h = t // tt, hb2 // ht
+    kernel = functools.partial(
+        _dx_s2_kernel, tt=tt, ht=ht, w2=w2, lanes=lanes, p=p, n_t=n_t,
+        n_h=n_h, n_b=b, interpret=interpret, actmask=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tt, 2 * ht, 2 * w2, lanes),
+                         lambda bi, ti, hi: (bi, ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, lanes), lambda bi, ti, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, 2 * hb2, 2 * w2, lanes), g.dtype),
+            jax.ShapeDtypeStruct((b, 2, lanes), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + 2, ht + 2, w2 + 16, lanes), g.dtype),
+            pltpu.VMEM((2, tt + 2, 2 * ht + 1, 2 * w2 + 16, lanes),
+                       x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(w_lane, sc, bi, g, x2)
 
 
 def _dw_fold4_wgrad_pcall(x: jax.Array, g: jax.Array, interpret: bool,
@@ -776,8 +886,11 @@ _DX_PICKS = {
 
 
 def _dx_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
-                  mask=False):
-    if mask:
+                  mask=False, actmask=False):
+    if actmask:
+        (w_ref, sc_ref, bi_ref, g_hbm, x_hbm, o_ref, r_ref, g_tiles,
+         x_tiles, sem2, xsem) = args
+    elif mask:
         (w_ref, wmm_ref, sc_ref, bi_ref, g_hbm, x_hbm, o_ref, g_tiles,
          x_tiles, sem2, xsem) = args
     else:
@@ -789,13 +902,18 @@ def _dx_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
         lambda tile, sm, b2, t2, h2, ph: _halo_io(
             g_hbm, tile, sm, b2, t2, h2, tt, ht, w2, n_t, n_h, ph))
     x_tile = None
-    if mask:
-        # pre-matmul input at FULL res for the in-kernel relu' (dxmask in
-        # _fwd_kernel, stride-2 shape): even/odd columns mask acc_e/acc_o
+    if mask or actmask:
+        # the mask source at FULL res (pre-matmul input for dxmask, the
+        # materialised BN input for actmask): even/odd columns mask
+        # acc_e/acc_o
         x_tile = _prefetch_pipeline(
             g_idx, n_b, n_t, n_h, x_tiles, xsem, _zero_frame_x2,
             lambda tile, sm, b2, t2, h2, ph: _x2_io(
                 x_hbm, tile, sm, b2, t2, h2, tt, ht, 2 * w2, n_t, n_h, ph))
+    if actmask:
+        @pl.when(jnp.logical_and(ti == 0, hi == 0))
+        def _():
+            r_ref[...] = jnp.zeros(r_ref.shape, r_ref.dtype)
 
     for z in range(ht):
         slabs = {0: g_tile[:, 1 + z, :, :], 1: g_tile[:, 2 + z, :, :]}
@@ -827,6 +945,18 @@ def _dx_s2_kernel(*args, tt, ht, w2, lanes, p, n_t, n_h, n_b, interpret,
                 ko = (zo * sc_ref[...][None, :]
                       + bi_ref[...][None, :]).reshape(tt, w2, lanes) > 0
                 acc_o = jnp.where(ko, acc_o, 0.0)
+            elif actmask:
+                xs = x_tile[pl.ds(1, tt), 1 + 2 * z + o, pl.ds(8, 2 * w2), :]
+                ex, ox = _deinterleave_w(xs, interpret)
+                sc_v = sc_ref[...][None, None, :]
+                bi_v = bi_ref[...][None, None, :]
+                exf, oxf = ex.astype(F32), ox.astype(F32)
+                dam_e = jnp.where(exf * sc_v + bi_v > 0, acc_e, 0.0)
+                dam_o = jnp.where(oxf * sc_v + bi_v > 0, acc_o, 0.0)
+                r_ref[0, 0, :] += jnp.sum(dam_e * exf + dam_o * oxf,
+                                          axis=(0, 1))
+                r_ref[0, 1, :] += jnp.sum(dam_e + dam_o, axis=(0, 1))
+                acc_e, acc_o = dam_e * sc_v, dam_o * sc_v
             o_ref[0, :, 2 * z + o, :, :] = _interleave_w(
                 acc_e.astype(o_ref.dtype), acc_o.astype(o_ref.dtype),
                 interpret)
@@ -1236,6 +1366,12 @@ def _sp_variants(kind: str):
         # g half-res, w_lane, wmm, sc, bi, x2 full-res -> masked dx full-res
         "dx_s2_mask": (_dx_s2_mask_pcall, True, (0, 5), {
             "mm_x": "b t h w o, k o, i o, o, o, b t y j i -> b t y j o"}),
+        # g, w_lane_flip, sc, bi, x2(BN input) -> (dam*sc, per-batch
+        # (dsc, dbi) partials) — the act path's whole backward epilogue
+        "dx_act": (_dx_act_pcall, True, (0, 4), {
+            "act_x": "b t h w l, k l, l, l, b t h w l -> b t h w l, b r l"}),
+        "dx_s2_act": (_dx_s2_act_pcall, True, (0, 4), {
+            "act_x": "b t h w l, k l, l, l, b t y j l -> b t y j l, b r l"}),
         # x full-res, g half-res -> (27, lanes) tap sums
         "wgrad_s2": (_wgrad_s2_pcall, False, (0, 1), {
             "plain": "b t h w l, b t y j l -> k l",
@@ -1255,6 +1391,9 @@ def _sp_kernel(kind: str, mode: str, interpret: bool):
     if mode == "mm_x":
         def fn(a0, a1, wmm, sc, bi, x2):
             return impl(a0, a1, interpret, sc=sc, bi=bi, wmm=wmm, x2=x2)
+    elif mode == "act_x":
+        def fn(a0, a1, sc, bi, x2):
+            return impl(a0, a1, interpret, sc=sc, bi=bi, x2=x2)
     elif mode == "mm":
         def fn(a0, a1, wmm, sc, bi):
             return impl(a0, a1, interpret, sc=sc, bi=bi, wmm=wmm)
@@ -1271,10 +1410,16 @@ def _sp_kernel(kind: str, mode: str, interpret: bool):
         spec = arg_shapes[0].sharding.spec
         return spec[0] if len(spec) else None
 
+    def _out_shardings(mesh, ax, result_shape):
+        sh = NamedSharding(mesh, PartitionSpec(ax) if ax is not None
+                           else PartitionSpec())
+        if isinstance(result_shape, (tuple, list)):
+            return type(result_shape)(sh for _ in result_shape)
+        return sh
+
     def infer(mesh, arg_shapes, result_shape):
         ax = _batch_axes(arg_shapes) if out_batched else None
-        return NamedSharding(mesh, PartitionSpec(ax) if ax is not None
-                             else PartitionSpec())
+        return _out_shardings(mesh, ax, result_shape)
 
     def partition(mesh, arg_shapes, result_shape):
         ax = _batch_axes(arg_shapes)
@@ -1283,9 +1428,8 @@ def _sp_kernel(kind: str, mode: str, interpret: bool):
                           if (i in batch_args and ax is not None)
                           else PartitionSpec())
             for i in range(len(arg_shapes)))
-        out_sh = NamedSharding(
-            mesh, PartitionSpec(ax) if (out_batched and ax is not None)
-            else PartitionSpec())
+        out_sh = _out_shardings(mesh, ax if out_batched else None,
+                                result_shape)
 
         def lower(*args):
             out = fn(*args)
@@ -1348,6 +1492,14 @@ def _dx_s2_mask_raw(g, w_lane, interpret, sc=None, bi=None, wmm=None,
                     x2=None):
     return _sp_kernel("dx_s2_mask", "mm_x", interpret)(g, w_lane, wmm, sc,
                                                        bi, x2)
+
+
+def _dx_act_raw(g, w_lane, interpret, sc=None, bi=None, x2=None):
+    return _sp_kernel("dx_act", "act_x", interpret)(g, w_lane, sc, bi, x2)
+
+
+def _dx_s2_act_raw(g, w_lane, interpret, sc=None, bi=None, x2=None):
+    return _sp_kernel("dx_s2_act", "act_x", interpret)(g, w_lane, sc, bi, x2)
 
 
 def _wgrad_s2_raw(x, g, interpret, sc=None, bi=None, wmm=None):
@@ -1497,6 +1649,25 @@ def _dw_act_fwd(x, w, sc, bi, c, stride, interpret):
 def _dw_act_bwd(c, stride, interpret, res, g):
     x, w, sc, bi = res
     p = x.shape[-1] // FOLD
+    if os.environ.get("CFN_ACT_DX_KERNEL", "1") != "0":
+        # the whole backward epilogue runs inside the dx kernel: relu' from
+        # the materialised BN input (elementwise), dam·sc as the output and
+        # per-batch (dsc, dbi) partials — da never round-trips HBM (the
+        # XLA-level epilogue materialised da, then a second pass re-read x
+        # and da to mask/scale/reduce)
+        if stride == 1:
+            w_flip = jnp.flip(w, axis=(0, 1, 2))
+            dx, red = _dx_act_raw(g, _prep_lane_weights(w_flip, c, p),
+                                  interpret, sc=sc, bi=bi, x2=x)
+            dk_lane = _dw_fold4_wgrad_raw(x, g, interpret, sc=sc, bi=bi)
+        else:
+            dx, red = _dx_s2_act_raw(g, _prep_lane_weights(w, c, p),
+                                     interpret, sc=sc, bi=bi, x2=x)
+            dk_lane = _wgrad_s2_raw(x, g, interpret, sc=sc, bi=bi)
+        dk = dk_lane.reshape(27, FOLD, p).sum(axis=1)[:, :c]
+        dk = dk.reshape(3, 3, 3, 1, c).astype(w.dtype)
+        red = red.sum(axis=0)                      # (2, lanes)
+        return dx, dk, red[0], red[1]
     if stride == 1:
         w_flip = jnp.flip(w, axis=(0, 1, 2))
         da = _dw_fold4_raw(g, _prep_lane_weights(w_flip, c, p), interpret)

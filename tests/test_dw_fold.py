@@ -176,6 +176,44 @@ def test_dw_fold4_mm_act_fused_matches_unfused(stride):
 
 
 @pytest.mark.parametrize("stride", [1, 2])
+def test_act_dx_kernel_under_mesh(stride):
+    """The act path's backward now runs through a tuple-output kernel
+    (masked dx + per-batch (dsc, dbi) partials); both outputs must
+    batch-shard under the data-parallel mesh and match the single-device
+    gradients."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from coarse_fine_networks_tpu.ops.fold import fold_pad, pad_vec
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+        fold_dw_bnrelu_conv3d,
+    )
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    rng = np.random.RandomState(19)
+    p = fold_pad(C)
+    x = jnp.asarray(rng.randn(8, 2, 4, 16, 4 * p), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, C), jnp.float32)
+    sc = pad_vec(jnp.asarray(rng.rand(C) + 0.5, jnp.float32), C, p, 0.0)
+    bi = pad_vec(jnp.asarray(rng.randn(C), jnp.float32), C, p, 0.0)
+
+    def loss(x, k, sc, bi):
+        y = fold_dw_bnrelu_conv3d(x, k, sc, bi, C, stride=stride,
+                                  impl="interpret")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    ref = grad(x, k, sc, bi)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(-1), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+    got = grad(xs, k, sc, bi)
+    for a, b, name in zip(got, ref, ("dx", "dk", "dsc", "dbi")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
 def test_dw_fold4_mm_bn_train_matches_reference(stride):
     """TRAIN-mode fused bottleneck entry (matmul + batch-stats + BN + relu +
     conv in one closed-form-VJP composite) == the plain-layout reference
