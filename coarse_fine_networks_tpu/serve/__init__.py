@@ -9,6 +9,7 @@ static-shape discipline that keeps XLA recompiles bounded).
 """
 
 from .feature_cache import CachingVideoServer, FeatureCache
+from .http import InferenceHTTPServer
 from .router import ModelRouter, UnknownModelError
 from .scheduler import (
     InferenceRequest,
@@ -16,6 +17,6 @@ from .scheduler import (
     VideoServer,
 )
 
-__all__ = ["CachingVideoServer", "FeatureCache", "InferenceRequest",
-           "ModelRouter", "ServerOverloadedError", "UnknownModelError",
-           "VideoServer"]
+__all__ = ["CachingVideoServer", "FeatureCache", "InferenceHTTPServer",
+           "InferenceRequest", "ModelRouter", "ServerOverloadedError",
+           "UnknownModelError", "VideoServer"]
