@@ -55,19 +55,25 @@ def assemble_pipeline_variables(ckpt: str | None, fine_ckpt: str | None,
 
 def build_server(variables, version: str, num_classes: int, port: int,
                  cache_bytes: int, max_batch: int, max_wait_ms: float,
-                 max_queue: int, request_timeout_s: float | None):
+                 max_queue: int, request_timeout_s: float | None,
+                 prewarm_dir: str | None = None):
     from ..models import CoarseFinePipeline
     from ..serve import (CachingVideoServer, FeatureCache,
                          InferenceHTTPServer, ModelRouter)
 
     m = CoarseFinePipeline(version=version, n_classes=num_classes)
+    cache = FeatureCache(capacity_bytes=cache_bytes)
+    if prewarm_dir:
+        n = cache.preload_dir(prewarm_dir)
+        print(f"prewarmed {n} videos ({cache.nbytes / 1e9:.2f} GB) from "
+              f"{prewarm_dir}", flush=True)
 
     server = CachingVideoServer(
         extract_fn=functools.partial(m.apply, variables,
                                      method=CoarseFinePipeline.extract),
         fuse_fn=functools.partial(m.apply, variables,
                                   method=CoarseFinePipeline.fuse),
-        cache=FeatureCache(capacity_bytes=cache_bytes),
+        cache=cache,
         max_batch=max_batch, max_wait_ms=max_wait_ms, max_queue=max_queue,
         request_timeout_s=request_timeout_s,
     )
@@ -89,6 +95,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--cache-gb", type=float, default=1.0,
                    help="fine-feature cache capacity")
+    p.add_argument("--prewarm-dir", default=None,
+                   help="extract_fineFEAT bank dir to preload the cache")
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-queue", type=int, default=256)
@@ -100,7 +108,8 @@ def main(argv=None):
     srv = build_server(variables, args.version, args.num_classes, args.port,
                        int(args.cache_gb * (1 << 30)), args.max_batch,
                        args.max_wait_ms, args.max_queue,
-                       args.request_timeout_s).start()
+                       args.request_timeout_s,
+                       prewarm_dir=args.prewarm_dir).start()
     print(f"serving on :{srv.port} (POST /v1/score)", flush=True)
     done = threading.Event()
     signal.signal(signal.SIGTERM, lambda *a: done.set())

@@ -96,6 +96,40 @@ class FeatureCache:
     def nbytes(self) -> int:
         return self._bytes
 
+    FEATURE_KEYS = ("layer1", "layer2", "layer3", "layer4", "conv5")
+
+    def preload_dir(self, feat_dir: str, keys=FEATURE_KEYS,
+                    max_videos: Optional[int] = None) -> int:
+        """Warm the cache from an extract-driver bank directory
+        (``<feat_dir>/<key>/<vid>.npy``, the disk boundary of
+        ``extract_fineFEAT.py:168-173`` — reference ``.pt`` banks load
+        too).  Videos are admitted in sorted order; LRU eviction applies
+        once capacity is hit, so the most recently loaded survive.
+        Returns the number of videos admitted."""
+        import os
+
+        d0 = os.path.join(feat_dir, keys[0])
+        vids = sorted({f.rsplit(".", 1)[0] if "." in f else f
+                       for f in os.listdir(d0)})
+        if max_videos is not None:
+            vids = vids[:max_videos]
+        n = 0
+        for vid in vids:
+            feats = {}
+            for k in keys:
+                path = os.path.join(feat_dir, k, vid)
+                if os.path.exists(path + ".npy"):
+                    f = np.load(path + ".npy")       # ours: (T, 7, 7, C)
+                else:
+                    import torch  # reference: (1, C, T, 7, 7) torch.save
+
+                    f = torch.load(path, map_location="cpu")
+                    f = np.transpose(f.squeeze(0).numpy(), (1, 2, 3, 0))
+                feats[k] = np.ascontiguousarray(f, np.float32)
+            self.put(vid, feats, feats[keys[0]].shape[0])
+            n += 1
+        return n
+
 
 class CachingVideoServer(VideoServer):
     """:class:`VideoServer` with a fine-feature cache between the streams.

@@ -34,6 +34,35 @@ def test_feature_cache_lru_bytes():
     assert c.get("huge") is None
 
 
+def test_preload_dir_from_extract_banks(tmp_path):
+    """Serving starts warm from the extract driver's disk banks
+    (``save_dir/<key>/<vid>.npy``) — a preloaded video needs no fine
+    pixels at submit time."""
+    from coarse_fine_networks_tpu.serve.feature_cache import FeatureCache
+
+    keys = FeatureCache.FEATURE_KEYS
+    rng = np.random.RandomState(0)
+    chans = {"layer1": 24, "layer2": 48, "layer3": 96, "layer4": 192,
+             "conv5": 432}
+    import os
+
+    for k in keys:
+        os.makedirs(tmp_path / k)
+    for vid, t in (("VA", 5), ("VB", 9)):
+        for k in keys:
+            np.save(str(tmp_path / k / f"{vid}.npy"),
+                    rng.rand(t, 7, 7, chans[k]).astype(np.float32))
+    c = FeatureCache(capacity_bytes=1 << 30)
+    assert c.preload_dir(str(tmp_path)) == 2
+    feats, t = c.get("VA")
+    assert t == 5 and feats["conv5"].shape == (5, 7, 7, 432)
+    assert c.get("VB")[1] == 9
+    # max_videos bound
+    c2 = FeatureCache(capacity_bytes=1 << 30)
+    assert c2.preload_dir(str(tmp_path), max_videos=1) == 1
+    assert c2.get("VA") is not None and c2.get("VB") is None
+
+
 @pytest.fixture(scope="module")
 def pipeline():
     m = CoarseFinePipeline(n_classes=7)
