@@ -56,11 +56,17 @@ def assemble_pipeline_variables(ckpt: str | None, fine_ckpt: str | None,
 def build_server(variables, version: str, num_classes: int, port: int,
                  cache_bytes: int, max_batch: int, max_wait_ms: float,
                  max_queue: int, request_timeout_s: float | None,
-                 prewarm_dir: str | None = None):
+                 prewarm_dir: str | None = None,
+                 mesh_devices: int | None = None):
     from ..models import CoarseFinePipeline
     from ..serve import (CachingVideoServer, FeatureCache,
                          InferenceHTTPServer, ModelRouter)
 
+    mesh = None
+    if mesh_devices and mesh_devices > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(mesh_devices)
     m = CoarseFinePipeline(version=version, n_classes=num_classes)
     cache = FeatureCache(capacity_bytes=cache_bytes)
     if prewarm_dir:
@@ -75,7 +81,7 @@ def build_server(variables, version: str, num_classes: int, port: int,
                                   method=CoarseFinePipeline.fuse),
         cache=cache,
         max_batch=max_batch, max_wait_ms=max_wait_ms, max_queue=max_queue,
-        request_timeout_s=request_timeout_s,
+        request_timeout_s=request_timeout_s, mesh=mesh,
     )
     router = ModelRouter().register("coarse_fine", server, default=True)
     return InferenceHTTPServer(router, port=port)
@@ -97,6 +103,9 @@ def main(argv=None):
                    help="fine-feature cache capacity")
     p.add_argument("--prewarm-dir", default=None,
                    help="extract_fineFEAT bank dir to preload the cache")
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="data-parallel serving over N chips (batches "
+                        "row-shard over the mesh)")
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--max-queue", type=int, default=256)
@@ -109,7 +118,8 @@ def main(argv=None):
                        int(args.cache_gb * (1 << 30)), args.max_batch,
                        args.max_wait_ms, args.max_queue,
                        args.request_timeout_s,
-                       prewarm_dir=args.prewarm_dir).start()
+                       prewarm_dir=args.prewarm_dir,
+                       mesh_devices=args.mesh_devices).start()
     print(f"serving on :{srv.port} (POST /v1/score)", flush=True)
     done = threading.Event()
     signal.signal(signal.SIGTERM, lambda *a: done.set())

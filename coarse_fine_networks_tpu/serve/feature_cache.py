@@ -36,6 +36,7 @@ from .scheduler import (
     ServerOverloadedError,
     VideoServer,
     _bucket_up,
+    _shard_rows,
 )
 
 FeatDict = Dict[str, np.ndarray]
@@ -218,8 +219,14 @@ class CachingVideoServer(VideoServer):
             for j, i in enumerate(miss):
                 tf = reqs[i].fine_clips.shape[0]
                 fine[j, :tf] = reqs[i].fine_clips
-            miss_feats = jax.tree.map(np.asarray,
-                                      self._extract(jnp.asarray(fine)))
+            if self.mesh is not None:
+                (fine_dev,), _ = _shard_rows((fine,), self.mesh, len(miss))
+                miss_feats = jax.tree.map(
+                    lambda v: np.asarray(v)[:len(miss)],
+                    self._extract(fine_dev))
+            else:
+                miss_feats = jax.tree.map(np.asarray,
+                                          self._extract(jnp.asarray(fine)))
             for j, i in enumerate(miss):
                 r = reqs[i]
                 if r.video_id is not None:
@@ -259,9 +266,16 @@ class CachingVideoServer(VideoServer):
             fuse = self._fuse_fn
             self._jfuse[label_len] = jax.jit(
                 lambda c, f, fm, m: fuse(c, f, fm, m, label_len))
-        probs = np.asarray(self._jfuse[label_len](
-            jnp.asarray(clips), jax.tree.map(jnp.asarray, feats),
-            jnp.asarray(feat_mask), jnp.asarray(meta)))
+        if self.mesh is not None:
+            ks = sorted(feats)
+            flat = [clips, feat_mask, meta] + [feats[k] for k in ks]
+            dev, _ = _shard_rows(flat, self.mesh, b)
+            probs = np.asarray(self._jfuse[label_len](
+                dev[0], dict(zip(ks, dev[3:])), dev[1], dev[2]))[:b]
+        else:
+            probs = np.asarray(self._jfuse[label_len](
+                jnp.asarray(clips), jax.tree.map(jnp.asarray, feats),
+                jnp.asarray(feat_mask), jnp.asarray(meta)))
         self.batches_run += 1
         self.batch_sizes.append(b)
         for i, r in enumerate(reqs):

@@ -52,6 +52,24 @@ def _bucket_up(n: int, multiple: int) -> int:
     return m
 
 
+def _shard_rows(arrays, mesh, b: int):
+    """Place host batch arrays row-sharded over ``mesh`` axis 0, padding the
+    batch up to a device multiple first (pad rows replicate row 0 so the
+    model math stays benign; their outputs are sliced away).  Returns the
+    device arrays and the padded batch size."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = mesh.devices.size
+    pb = -(-b // n) * n
+    out = []
+    for a in arrays:
+        if pb != b:
+            a = np.concatenate([a, np.repeat(a[:1], pb - b, axis=0)], axis=0)
+        sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        out.append(jax.device_put(a, sh))
+    return out, pb
+
+
 @dataclasses.dataclass
 class InferenceRequest:
     clips: np.ndarray        # (T, H, W, 3) float32 — coarse-stream frames
@@ -93,8 +111,10 @@ class VideoServer:
         bucket_multiple: int = 16,
         max_queue: int = 256,
         request_timeout_s: Optional[float] = None,
+        mesh=None,
     ):
         self._apply = apply_fn
+        self.mesh = mesh  # data-parallel serving: batches shard over axis 0
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.bucket_multiple = bucket_multiple
@@ -237,9 +257,15 @@ class VideoServer:
             self._jitted[jit_key] = jax.jit(
                 lambda c, f, m, fm: self._apply(c, f, m, label_len,
                                                 fine_mask=fm))
-        probs = np.asarray(self._jitted[jit_key](
-            jnp.asarray(clips), jnp.asarray(fine), jnp.asarray(meta),
-            jnp.asarray(fine_mask)))
+        if self.mesh is not None:
+            (clips, fine, meta, fine_mask), _ = _shard_rows(
+                (clips, fine, meta, fine_mask), self.mesh, b)
+            probs = np.asarray(self._jitted[jit_key](
+                clips, fine, meta, fine_mask))[:b]
+        else:
+            probs = np.asarray(self._jitted[jit_key](
+                jnp.asarray(clips), jnp.asarray(fine), jnp.asarray(meta),
+                jnp.asarray(fine_mask)))
         self.batches_run += 1
         self.batch_sizes.append(b)
         for i, r in enumerate(reqs):

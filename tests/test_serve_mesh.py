@@ -1,0 +1,85 @@
+"""Data-parallel serving: batches row-shard over a device mesh inside the
+scheduler (pad to a device multiple, slice back), with outputs identical to
+single-device serving — for both the plain VideoServer and the two-program
+caching server."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coarse_fine_networks_tpu.parallel import make_mesh
+from coarse_fine_networks_tpu.serve import CachingVideoServer, VideoServer
+
+
+def _stub_apply(clips, fine_clips, meta, label_len, fine_mask=None):
+    per_clip = clips.mean(axis=(1, 2, 3)) + fine_clips.mean(axis=(1, 2, 3))
+    return jnp.broadcast_to(per_clip[:, None, :],
+                            (clips.shape[0], label_len, 3))
+
+
+@pytest.fixture
+def mesh():
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    return make_mesh()
+
+
+def _videos(n, seed=0, h=8):
+    rng = np.random.RandomState(seed)
+    return [(rng.rand(6, h, h, 3).astype(np.float32),
+             rng.rand(12, h, h, 3).astype(np.float32)) for _ in range(n)]
+
+
+def test_video_server_mesh_matches_single(mesh):
+    """3 requests on an 8-device mesh (pad 3→8, shard, slice back) ==
+    unsharded serving bit-for-bit at f32."""
+    vids = _videos(3)
+    results = {}
+    for name, m in (("mesh", mesh), ("single", None)):
+        s = VideoServer(_stub_apply, max_batch=4, max_wait_ms=50,
+                        bucket_multiple=8, mesh=m).start()
+        try:
+            futs = [s.submit(c, f) for c, f in vids]
+            results[name] = [fu.result(timeout=120) for fu in futs]
+        finally:
+            s.stop()
+    for a, b in zip(results["mesh"], results["single"]):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_caching_server_mesh_two_program(mesh):
+    """The caching server's extract and fuse programs both shard; hits and
+    misses agree with the unsharded server."""
+    def extract(fine):
+        return {"tap": fine.mean(axis=(2, 3))[..., None, None, :]
+                * jnp.ones((1, 1, 7, 7, 1))}
+
+    def fuse(clips, feats, feat_mask, meta, label_len):
+        f = (feats["tap"].mean(axis=(2, 3))
+             * feat_mask[..., None]).sum(axis=1)       # (B, 3)
+        base = clips.mean(axis=(1, 2, 3)) + f
+        return jnp.broadcast_to(base[:, None, :],
+                                (clips.shape[0], label_len, 3))
+
+    vids = _videos(3, seed=1)
+    results = {}
+    for name, m in (("mesh", mesh), ("single", None)):
+        s = CachingVideoServer(extract_fn=extract, fuse_fn=fuse,
+                               max_batch=4, max_wait_ms=50,
+                               bucket_multiple=8, mesh=m).start()
+        try:
+            futs = [s.submit(c, f, video_id=f"v{i}")
+                    for i, (c, f) in enumerate(vids)]
+            out = [fu.result(timeout=120) for fu in futs]
+            # repeat one as a cache hit (no fine pixels)
+            out.append(s.submit(vids[0][0], video_id="v0").result(timeout=120))
+            assert s.cache.hits == 1
+            results[name] = out
+        finally:
+            s.stop()
+    for a, b in zip(results["mesh"], results["single"]):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
