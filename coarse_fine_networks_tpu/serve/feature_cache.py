@@ -162,7 +162,8 @@ class CachingVideoServer(VideoServer):
     def submit(self, clips: np.ndarray,
                fine_clips: Optional[np.ndarray] = None,
                meta: Optional[np.ndarray] = None,
-               video_id: Optional[str] = None):
+               video_id: Optional[str] = None,
+               priority: int = 0):
         clips = np.asarray(clips, np.float32)
         if clips.ndim != 4 or clips.shape[-1] != 3:
             raise ValueError(f"clips must be (T, H, W, 3), got {clips.shape}")
@@ -178,7 +179,8 @@ class CachingVideoServer(VideoServer):
                     f"{fine_clips.shape}")
         req = InferenceRequest(clips, fine_clips,
                                None if meta is None
-                               else np.asarray(meta, np.int32))
+                               else np.asarray(meta, np.int32),
+                               priority=priority)
         req.video_id = video_id
         req.cached = cached
         key = self._bucket_key(req)

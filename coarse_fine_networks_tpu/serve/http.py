@@ -10,8 +10,9 @@ Protocol (binary-safe, no JSON round-trip for pixel payloads):
 * ``POST /v1/score`` — body is a raw ``.npz`` archive with arrays
   ``clips (T, H, W, 3) float32`` and optionally ``fine_clips``; query
   params ``model=<name>`` and ``video_id=<id>`` select the variant and
-  enable the fine-feature cache.  Response: an ``.npz`` with ``probs
-  (4*T, n_classes) float32``.
+  enable the fine-feature cache; ``priority=<int>`` raises scheduling
+  precedence (aged, so background traffic is never starved).  Response:
+  an ``.npz`` with ``probs (4*T, n_classes) float32``.
 * ``GET /v1/models`` — JSON list of registered variants.
 * ``GET /v1/stats`` — JSON per-model queue/batch/cache health.
 * ``GET /healthz`` — 200 when serving, 503 once draining.
@@ -93,6 +94,7 @@ class InferenceHTTPServer:
                 q = parse_qs(url.query)
                 model = q.get("model", [None])[0]
                 video_id = q.get("video_id", [None])[0]
+                priority = int(q.get("priority", ["0"])[0])
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     with np.load(io.BytesIO(self.rfile.read(n))) as z:
@@ -106,6 +108,8 @@ class InferenceHTTPServer:
                     kw = {}
                     if video_id is not None:
                         kw["video_id"] = video_id
+                    if priority:
+                        kw["priority"] = priority
                     fut = outer.router.submit(clips, fine, model=model, **kw)
                     probs = fut.result(timeout=outer.result_timeout)
                 except UnknownModelError as e:

@@ -19,7 +19,10 @@ its only inference surface is the batch-1 whole-video val loop,
 * **cancellation** — a ``Future.cancel()`` before the batch launches removes
   the request from its batch;
 * **error isolation** — an exception in one batch fails only that batch's
-  futures; the scheduler keeps serving.
+  futures; the scheduler keeps serving;
+* **priority classes** — higher-priority requests schedule first, with
+  time-based aging (``priority_aging_s``) so background traffic is never
+  starved.
 
 Buckets key on both temporal lengths *and* the spatial sizes of both streams,
 so mixed-resolution traffic can never be fused into one (shape-invalid)
@@ -75,6 +78,7 @@ class InferenceRequest:
     clips: np.ndarray        # (T, H, W, 3) float32 — coarse-stream frames
     fine_clips: np.ndarray   # (T_f, H', W', 3) float32 — fine-stream frames
     meta: Optional[np.ndarray] = None   # (4,) int32; default whole video
+    priority: int = 0        # higher preempts; aging prevents starvation
     future: Future = dataclasses.field(default_factory=Future)
     enqueued_at: float = dataclasses.field(default_factory=time.monotonic)
     # set by serve.feature_cache.CachingVideoServer
@@ -101,6 +105,9 @@ class VideoServer:
         :class:`ServerOverloadedError` beyond it (backpressure).
       request_timeout_s: if set, requests that wait longer fail with
         ``TimeoutError``.
+      priority_aging_s: seconds of waiting worth one priority level — a
+        lower-priority bucket eventually outranks a busy high-priority one
+        (no starvation).
     """
 
     def __init__(
@@ -112,9 +119,11 @@ class VideoServer:
         max_queue: int = 256,
         request_timeout_s: Optional[float] = None,
         mesh=None,
+        priority_aging_s: float = 1.0,
     ):
         self._apply = apply_fn
         self.mesh = mesh  # data-parallel serving: batches shard over axis 0
+        self.priority_aging = priority_aging_s
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.bucket_multiple = bucket_multiple
@@ -146,7 +155,8 @@ class VideoServer:
             self._thread.join(timeout=30)
 
     def submit(self, clips: np.ndarray, fine_clips: np.ndarray,
-               meta: Optional[np.ndarray] = None) -> Future:
+               meta: Optional[np.ndarray] = None,
+               priority: int = 0) -> Future:
         """Queue one whole-video request; the Future resolves to per-frame
         class probabilities ``(4*T, n_classes)`` float32.
 
@@ -161,7 +171,8 @@ class VideoServer:
                 f"fine_clips must be (T_f, H, W, 3), got {fine_clips.shape}")
         req = InferenceRequest(clips, fine_clips,
                                None if meta is None
-                               else np.asarray(meta, np.int32))
+                               else np.asarray(meta, np.int32),
+                               priority=priority)
         key = self._bucket_key(req)
         with self._lock:
             if self._pending >= self.max_queue:
@@ -209,20 +220,28 @@ class VideoServer:
             dq.extend(kept)
 
     def _take_batch(self):
-        """Pick the bucket with the oldest head request; take up to
-        max_batch runnable requests from it."""
+        """Pick the bucket whose head request scores highest —
+        ``priority + waited/priority_aging_s`` — so urgent traffic
+        preempts but waiting requests age upward (no starvation); take up
+        to max_batch runnable requests from it."""
         with self._lock:
             self._expire_and_prune()
-            best_key, best_age = None, None
+            now = time.monotonic()
+            best_key, best_score, best_age = None, None, None
             for key, dq in self._buckets.items():
-                if dq and (best_age is None
-                           or dq[0].enqueued_at < best_age):
-                    best_key, best_age = key, dq[0].enqueued_at
+                if not dq:
+                    continue
+                r = dq[0]
+                score = r.priority + (now - r.enqueued_at) / max(
+                    self.priority_aging, 1e-6)
+                if best_score is None or score > best_score:
+                    best_key, best_score = key, score
+                    best_age = r.enqueued_at
             if best_key is None:
                 return None, []
             dq = self._buckets[best_key]
             if (len(dq) < self.max_batch
-                    and time.monotonic() - best_age < self.max_wait):
+                    and now - best_age < self.max_wait):
                 return None, []   # hold the batch open for stragglers
             out = []
             while dq and len(out) < self.max_batch:

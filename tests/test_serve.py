@@ -122,6 +122,34 @@ def test_backpressure_bounded_queue():
         server.submit(*_req(rng))
 
 
+def test_priority_classes_and_aging():
+    """Higher-priority buckets schedule first; a long-waiting low-priority
+    request ages upward and eventually outranks fresh urgent traffic."""
+    rng = np.random.RandomState(1)
+    s = VideoServer(_stub_apply, max_batch=1, max_wait_ms=0,
+                    bucket_multiple=4, priority_aging_s=1000.0)
+    # two distinct buckets (different T); do not start — drive _take_batch
+    s.submit(*_req(rng, t=3))                       # bucket A, priority 0
+    s.submit(*_req(rng, t=20), priority=2)          # bucket B, priority 2
+    key, reqs = s._take_batch()
+    assert reqs and reqs[0].priority == 2           # urgent first
+    key, reqs = s._take_batch()
+    assert reqs and reqs[0].priority == 0
+
+    # aging: the low-priority head waited long enough to outrank priority 2
+    s2 = VideoServer(_stub_apply, max_batch=1, max_wait_ms=0,
+                     bucket_multiple=4, priority_aging_s=1.0)
+    lowf = s2.submit(*_req(rng, t=3))
+    s2.submit(*_req(rng, t=20), priority=2)
+    with s2._lock:
+        for dq in s2._buckets.values():
+            if dq and dq[0].priority == 0:
+                dq[0].enqueued_at -= 10.0           # waited "10 s"
+    key, reqs = s2._take_batch()
+    assert reqs and reqs[0].priority == 0, "aged request must win"
+    assert not lowf.done()
+
+
 def test_submit_validates_shapes():
     server = VideoServer(_stub_apply)
     with pytest.raises(ValueError):
