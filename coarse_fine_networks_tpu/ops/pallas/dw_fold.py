@@ -1542,8 +1542,14 @@ def dw_fold4_stride2(x: jax.Array, w: jax.Array, c: int,
     """Depthwise 3x3x3 with stride (1,2,2) on fold4 (layer-N block0,
     ``x3d_fine.py:93,104``): computes only the kept quarter of positions
     (:func:`_fwd_s2_direct_kernel`) — the stencil is VPU-bound, so skipping
-    the discarded taps is a ~4x MAC saving over stencil+subsample."""
-    if x.dtype == jnp.bfloat16 or interpret:
+    the discarded taps is a ~4x MAC saving over stencil+subsample.
+
+    Compiled direct-quarter dispatch needs bf16 AND
+    :func:`fold_s2_supported` shapes (the half-res backward's g tile
+    width ``w/2 + 16`` must be 8-aligned — Mosaic rejects the slice
+    otherwise); everything else takes the exact full-res + subsample
+    route."""
+    if (x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)) or interpret:
         p = x.shape[-1] // FOLD
         return _fwd_s2_direct_raw(x, _prep_lane_weights(w, c, p), interpret)
     return _stride2_via_full(x, w, c, interpret)
@@ -1560,7 +1566,7 @@ def _dw_s2_bwd(c, interpret, res, g):
     back to the upsample route (no bf16 sublane-pair bitcast there)."""
     x, w = res
     p = x.shape[-1] // FOLD
-    if x.dtype == jnp.bfloat16 or interpret:
+    if (x.dtype == jnp.bfloat16 and fold_s2_supported(x.shape)) or interpret:
         dx = _dx_s2_raw(g, _prep_lane_weights(w, c, p), interpret)
         dk_lane = _wgrad_s2_raw(x, g, interpret)
     else:

@@ -276,10 +276,17 @@ def test_compiled_bf16_stride2_matches_interpret_on_tpu():
     bits); CI runs only the interpret-mode reshape variants, so a packing
     mismatch on real hardware would flip even/odd columns and ship
     undetected — this on-chip check compares compiled fwd/bwd against
-    interpret at a real trunk shape (layer1/block0: 24ch, 56->28)."""
+    interpret at a compiled-dispatch-eligible shape (the dx kernel's g
+    halo tile needs (w/2 + 16) 8-aligned — exactly the
+    ``fold_s2_supported`` contract; W=56 is NOT eligible and was a
+    Mosaic compile error here, caught on-chip)."""
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import fold_s2_supported
+
     rng = np.random.RandomState(0)
     c = 24
-    b, t, h, w = 2, 8, 56, 56
+    b, t, h, w = 2, 8, 56, 64
+    assert fold_s2_supported((b, t, h // 4, w, 128))
+    assert not fold_s2_supported((b, t, h // 4, 56, 128))  # the old shape
     x = jnp.asarray(rng.randn(b, t, h, w, c), jnp.bfloat16)
     k = jnp.asarray(0.2 * rng.randn(3, 3, 3, 1, c), jnp.float32)
     xf = to_fold4(x)
@@ -301,3 +308,46 @@ def test_compiled_bf16_stride2_matches_interpret_on_tpu():
         rtol=5e-2, atol=5e-1)
     np.testing.assert_allclose(np.asarray(gk_c), np.asarray(gk_i),
                                rtol=2e-2, atol=2e-1)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled bf16 kernels need real TPU "
+                           "(CFN_TEST_TPU=1)")
+@pytest.mark.parametrize("stride", [1, 2])
+def test_compiled_act_dx_kernel_matches_interpret_on_tpu(stride):
+    """The act-path dx kernels (in-kernel relu mask + dsc/dbi reductions,
+    now the default backward) also use the u32 sublane-pair bitcasts on
+    the stride-2 path; compare compiled bf16 against interpret at a real
+    trunk shape so a packing or reduction-accumulation bug cannot ship
+    undetected."""
+    from coarse_fine_networks_tpu.ops.fold import fold_pad, pad_vec
+    from coarse_fine_networks_tpu.ops.pallas.dw_fold import (
+        fold_dw_bnrelu_conv3d,
+    )
+
+    rng = np.random.RandomState(5)
+    c = 54
+    p = fold_pad(c)
+    b, t, h, w = 2, 8, 56, 64  # compiled s2 dispatch needs w/2+16 8-aligned
+    x = jnp.asarray(rng.randn(b, t, h, w, c), jnp.bfloat16)
+    k = jnp.asarray(0.2 * rng.randn(3, 3, 3, 1, c), jnp.float32)
+    sc = pad_vec(jnp.asarray(rng.rand(c) + 0.5, jnp.float32), c, p, 0.0)
+    bi = pad_vec(jnp.asarray(rng.randn(c) / 3, jnp.float32), c, p, 0.0)
+    xf = to_fold4(x)
+
+    def loss(xf, k, sc, bi, interpret):
+        y = fold_dw_bnrelu_conv3d(
+            xf, k, sc, bi, c, stride=stride,
+            impl="interpret" if interpret else "pallas")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_i = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(
+        xf, k, sc, bi)
+    g_c = jax.jit(jax.grad(lambda *a: loss(*a, False),
+                           argnums=(0, 1, 2, 3)))(xf, k, sc, bi)
+    for a, b2, name in zip(g_c, g_i, ("dx", "dk", "dsc", "dbi")):
+        a, b2 = np.asarray(a, np.float32), np.asarray(b2, np.float32)
+        np.testing.assert_allclose(
+            a, b2, rtol=5e-2, atol=5e-2 * max(np.abs(b2).max(), 1.0),
+            err_msg=name)
