@@ -79,7 +79,7 @@ def _pick_tiles(t: int, hb: int, w: int, lanes: int,
     inside VMEM, preferring low halo overhead.  ``mm_lanes``: extra budget
     for the in-kernel matmul's activated tile (lanes_out wide) and its f32
     product."""
-    budget = 12 * 1024 * 1024
+    budget = int(os.environ.get("CFN_TILE_BUDGET_MB", "12")) * 1024 * 1024
     best = (1, min(hb, 14))
     best_cost = None
     h_opts = [h for h in (hb, 14, 7) if h <= hb and hb % h == 0] or [hb]
