@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coarse_fine_networks_tpu.utils.hw import compiled_costs, utilization
+from coarse_fine_networks_tpu.utils.hw import (compiled_costs, sync,
+                                               utilization)
 
 BASELINE_CLIPS_PER_CHIP = 9.3 / 5  # reference clips/s per GPU
 
@@ -56,11 +57,11 @@ def bench_fine_forward():
     )()
     fwd = jax.jit(lambda v, x: model.apply(v, x, False))
     out = fwd(variables, clips)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(STEPS):
         out = fwd(variables, clips)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.time() - t0) / STEPS
     print(json.dumps({
         "metric": "fine_forward_clips_per_sec_per_chip",
@@ -87,11 +88,11 @@ def bench_joint_inference():
                                fine_clips, meta))()
     fwd = jax.jit(lambda v: m.apply(v, clips, fine_clips, meta, label_len=TL))
     out = fwd(v)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(STEPS):
         out = fwd(v)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.time() - t0) / STEPS
 
     # fine-feature-cache serving split (serve/feature_cache.py): a repeat
@@ -100,21 +101,21 @@ def bench_joint_inference():
     ext = jax.jit(lambda v, fc: m.apply(v, fc,
                                         method=type(m).extract))
     feats = ext(v, fine_clips)
-    jax.block_until_ready(feats)
+    sync(feats)
     fmask = jnp.ones((b, tf), jnp.float32)
     fuse = jax.jit(lambda v, f: m.apply(v, clips, f, fmask, meta, TL,
                                         method=type(m).fuse))
     outf = fuse(v, feats)
-    jax.block_until_ready(outf)
+    sync(outf)
     t0 = time.time()
     for _ in range(STEPS):
         feats = ext(v, fine_clips)
-    jax.block_until_ready(feats)
+    sync(feats)
     dt_ext = (time.time() - t0) / STEPS
     t0 = time.time()
     for _ in range(STEPS):
         outf = fuse(v, feats)
-    jax.block_until_ready(outf)
+    sync(outf)
     dt_fuse = (time.time() - t0) / STEPS
 
     print(json.dumps({
@@ -261,11 +262,11 @@ def bench_coarse_val():
     state = TrainState.create(variables)
     step = make_eval_step(model, align_corners=False)
     out = step(state, batch)
-    jax.block_until_ready(out["probs"])
+    sync(out["probs"])
     t0 = time.time()
     for _ in range(STEPS):
         out = step(state, batch)
-    jax.block_until_ready(out["probs"])
+    sync(out["probs"])
     dt = (time.time() - t0) / STEPS
     log(f"eval step {dt * 1e3:.1f} ms for {b} videos of T={t}")
     print(json.dumps({
@@ -335,7 +336,7 @@ def main():
     compiled = lowered.compile()
     costs = compiled_costs(compiled)
     state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     log(f"compile+first step: {time.time() - t0:.1f}s  "
         f"loss={float(metrics['loss']):.4f}  "
         f"program: {costs['flops'] / 1e12:.2f} TFLOP, "
@@ -344,12 +345,12 @@ def main():
     # warmup
     for _ in range(2):
         state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
 
     t0 = time.time()
     for _ in range(STEPS):
         state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     dt = (time.time() - t0) / STEPS
     clips_per_sec = B / dt
     util = utilization(costs["flops"], costs["bytes"], dt)
@@ -412,11 +413,11 @@ def _bench_input_attached(step, state, batch, lr, key):
 
     n_att = int(os.environ.get("BENCH_ATTACHED_STEPS", 8))
     state, metrics = step(state, attach(hb), lr, key)  # shape-warm the H2D
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     t0 = time.time()
     for _ in range(n_att):
         state, metrics = step(state, attach(next(it)), lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     att_dt = (time.time() - t0) / n_att
     log(f"input-attached step time {att_dt * 1e3:.1f} ms "
         f"({workers} decode workers)")

@@ -19,6 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from coarse_fine_networks_tpu.utils.hw import sync
+
 B, T, HB, W = 8, 64, 28, 112
 I, O = 128, 256
 N = int(os.environ.get("BENCH_STEPS", 10))
@@ -27,11 +29,11 @@ N = int(os.environ.get("BENCH_STEPS", 10))
 def measure(name, fn, *args):
     jitted = jax.jit(fn)
     out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(N):
         out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.time() - t0) / N
     print(f"{name:32s} {dt * 1e3:8.2f} ms")
     return dt

@@ -15,6 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from coarse_fine_networks_tpu.utils.hw import sync
+
 from coarse_fine_networks_tpu.models.x3d import X3DStage, X3DStem
 from coarse_fine_networks_tpu.models.x3d_fold import (
     FoldedStage,
@@ -33,11 +35,11 @@ DW = os.environ.get("BENCH_DW", "auto")  # fold dw impl
 def measure(name, fn, *args):
     jitted = jax.jit(fn)
     out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(N):
         out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.time() - t0) / N
     print(f"{name:44s} {dt * 1e3:8.2f} ms", flush=True)
     return dt

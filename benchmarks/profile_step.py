@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from coarse_fine_networks_tpu.utils.hw import sync
+
 B = int(os.environ.get("BENCH_BATCH", 8))
 T = int(os.environ.get("BENCH_T", 64))
 HW = int(os.environ.get("BENCH_HW", 224))
@@ -141,12 +143,12 @@ def main():
     # compile + warm
     for _ in range(2):
         state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
 
     t0 = time.time()
     for _ in range(5):
         state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     step_ms = (time.time() - t0) / 5 * 1e3
     print(f"untraced step: {step_ms:.1f} ms", file=sys.stderr)
 
@@ -155,7 +157,7 @@ def main():
     jax.profiler.start_trace(trace_dir)
     for _ in range(N_STEPS):
         state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics["loss"])
     jax.profiler.stop_trace()
 
     per_op, op_meta = parse_xspace(trace_dir)

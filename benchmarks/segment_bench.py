@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from coarse_fine_networks_tpu.models.x3d import X3DStage, X3DStem
-from coarse_fine_networks_tpu.utils.hw import compiled_costs, utilization
+from coarse_fine_networks_tpu.utils.hw import (compiled_costs, sync,
+                                               utilization)
 
 B = int(os.environ.get("BENCH_B", 8))
 T = int(os.environ.get("BENCH_T", 64))
@@ -33,11 +34,11 @@ def measure(name, fn, *args):
     compiled = jitted.lower(*args).compile()
     costs = compiled_costs(compiled)
     out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(N):
         out = jitted(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.time() - t0) / N
     util = utilization(costs["flops"], costs["bytes"], dt)
     print(f"{name:34s} {dt * 1e3:7.2f} ms  {costs['bytes'] / 1e9:6.2f} GB  "

@@ -42,6 +42,28 @@ def chip_peaks(device=None) -> ChipPeaks:
     return ChipPeaks(f"unknown({kind})->v5e-assumed", 197e12, 819e9, False)
 
 
+def sync(x):
+    """Synchronize on *completion* of ``x`` — transport-safe.
+
+    ``jax.block_until_ready`` waits on the local buffer's ready event; on
+    remote-attached device transports (e.g. a tunneled TPU backend) dispatch
+    is fully asynchronous and the call can return immediately, silently
+    turning a block_until_ready-based timing loop into a dispatch-rate
+    measurement.  Fetching one scalar element round-trips through the device
+    execution queue and is a correct barrier everywhere.  Cost: one
+    host<->device RTT (well under 1 ms), so use it once per timed window,
+    not once per step.
+    """
+    import numpy as np
+
+    leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")]
+    jax.block_until_ready(leaves)
+    if leaves:
+        l = leaves[0]
+        np.asarray(l.ravel()[0] if getattr(l, "size", 0) else l)
+    return x
+
+
 def compiled_costs(compiled) -> Dict[str, float]:
     """Extract {flops, bytes} from a jax Compiled object's cost analysis.
 
