@@ -23,11 +23,11 @@ from flax import linen as nn
 
 from ..ops.fold import (
     FOLD,
+    fold_downsample_kernel,
     fold_matmul,
     fold_pad,
     fold_pointwise_kernel,
     pad_vec,
-    refold_y2_to_y4,
     to_fold4,
 )
 from ..ops.pallas.dw_fold import (dw_fold4_mm_bn_train, fold_dw_bnrelu_conv3d,
@@ -51,16 +51,16 @@ class _KernelParam(nn.Module):
 def fold_downsample_pw(x: jax.Array, w: jax.Array, c_in: int,
                        c_out: int) -> jax.Array:
     """Pointwise 1x1x1 conv with stride (1,2,2) in fold space (the residual
-    downsample of ``x3d_fine.py:144-149``): subsample even rows (phases
-    {0,2} of each block, block pairs regrouped) and even columns, then the
-    block-diagonal fold matmul."""
+    downsample of ``x3d_fine.py:144-149``), as one strided conv consuming
+    fold4 rows directly (:func:`..ops.fold.fold_downsample_kernel`) — both
+    directions stay in the standard fold4 conv layout, so XLA's conv
+    emitters handle the subsample (fwd) and the zero-interleave (input grad)
+    without strided-slice relayouts or scatter-adds."""
     p = x.shape[-1] // FOLD
-    b, t, hb, wd, _ = x.shape
-    xv = x.reshape(b, t, hb, wd // 2, 2, FOLD, p)[:, :, :, :, 0, ::2, :]
-    xv = jnp.moveaxis(xv, 4, 3)                     # (b, t, hb, 2, w/2, p)
-    xs = refold_y2_to_y4(xv)                        # (b, t, hb/2, w/2, 4p)
-    wf = fold_pointwise_kernel(w, c_in, c_out, p_in=p)
-    return fold_matmul(xs, wf)
+    k = fold_downsample_kernel(w, c_in, c_out, p_in=p).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 2, 2), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 class FoldedSubBatchNorm(nn.Module):

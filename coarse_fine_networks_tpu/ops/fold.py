@@ -103,6 +103,34 @@ def refold_y2_to_y4(x: jax.Array) -> jax.Array:
     return x.reshape(b, t, hb // 2, w, 4 * p)
 
 
+def fold_downsample_kernel(w: jax.Array, c_in: int, c_out: int,
+                           p_in: int | None = None,
+                           p_out: int | None = None) -> jax.Array:
+    """Canonical 1x1x1 kernel ``(..., C_in, C_out)`` → ``(1, 2, 1, 4*P_in,
+    4*P_out)`` kernel for the stride-(1,2,2) pointwise conv **consuming fold4
+    rows directly** (the residual downsample of ``x3d_fine.py:144-149``).
+
+    Output block row Z', phase p' is plain row ``4Z'+p'``, which reads plain
+    input row ``8Z'+2p'`` = input block ``2Z' + p'//2``, phase ``2*(p' % 2)``
+    — a height-2 window over the *block* axis at stride 2, with the phase
+    routing scattered into the lane slots, and even W columns via W-stride 2.
+    One strided lax conv in the standard fold4 layout replaces the previous
+    strided-slice → refold → matmul chain, whose non-minor strided slice
+    forced XLA into a T-minor relayout + gather forward and a broadcast +
+    scatter-add + two relayout copies backward (~9 ms of the profiled train
+    step; PERF.md round-3e)."""
+    p_in = fold_pad(c_in) if p_in is None else p_in
+    p_out = fold_pad(c_out) if p_out is None else p_out
+    w2 = w.reshape(c_in, c_out)
+    k = jnp.zeros((1, 2, 1, FOLD * p_in, FOLD * p_out), w.dtype)
+    for pp in range(FOLD):
+        kb, ph_in = pp // 2, 2 * (pp % 2)
+        k = k.at[0, kb, 0,
+                 ph_in * p_in:ph_in * p_in + c_in,
+                 pp * p_out:pp * p_out + c_out].set(w2)
+    return k
+
+
 def fold_gridpool_conv1_kernel(w: jax.Array, c_in: int, c_out: int,
                                p_in: int | None = None) -> jax.Array:
     """Canonical 3x3x3 stride-(·,2,2) pad-1 kernel ``(3,3,3,C_in,C_out)`` →
