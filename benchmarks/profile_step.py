@@ -161,21 +161,37 @@ def main():
     jax.profiler.stop_trace()
 
     per_op, op_meta = parse_xspace(trace_dir)
-    total_ms = sum(per_op.values()) / 1e9 / N_STEPS
+
+    # Async copy/collective *-start events span their whole in-flight window
+    # (issue -> done), which overlaps compute — summing them double-counts
+    # massively (a f32[54] param prefetch can "last" 9 ms).  Track them
+    # separately and keep the device total to synchronous op time.
+    def is_async(name, meta):
+        cat = str(meta.get("hlo_category", "")).lower()
+        return (name.lstrip("%").startswith(("copy-start", "copy-done"))
+                or cat.startswith(("copy-start", "copy-done"))
+                or "async" in cat)
+
+    sync_ops = {n: ps for n, ps in per_op.items()
+                if not is_async(n, op_meta.get(n, {}))}
+    async_ms = (sum(per_op.values()) - sum(sync_ops.values())) / 1e9 / N_STEPS
+    total_ms = sum(sync_ops.values()) / 1e9 / N_STEPS
 
     buckets = collections.Counter()
-    for name, ps in per_op.items():
+    for name, ps in sync_ops.items():
         buckets[classify(name, op_meta.get(name, {}))] += ps
 
     print(f"\ndevice total: {total_ms:.1f} ms/step "
-          f"(untraced wall {step_ms:.1f} ms)  trace: {trace_dir}")
+          f"(untraced wall {step_ms:.1f} ms; async/overlapped windows "
+          f"{async_ms:.1f} ms not counted)  trace: {trace_dir}")
     print("\n== buckets ==")
     for cat, ps in buckets.most_common():
         ms = ps / 1e9 / N_STEPS
         print(f"  {cat:28s} {ms:7.2f} ms  {ms / total_ms * 100:5.1f}%")
 
     print("\n== top 40 ops ==")
-    for name, ps in per_op.most_common(40):
+    top = collections.Counter(sync_ops)
+    for name, ps in top.most_common(40):
         ms = ps / 1e9 / N_STEPS
         meta = op_meta.get(name, {})
         cat = str(meta.get("hlo_category", ""))
