@@ -15,6 +15,13 @@ from .mesh import (
     replicate_sharding,
     shard_batch,
 )
+from .tensor import (
+    MODEL_AXIS,
+    make_mesh2d,
+    shard_tower_variables,
+    tower_param_specs,
+    tp_tower_apply,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +29,9 @@ __all__ = [
     "process_shard",
     "replicate_sharding",
     "shard_batch",
+    "MODEL_AXIS",
+    "make_mesh2d",
+    "shard_tower_variables",
+    "tower_param_specs",
+    "tp_tower_apply",
 ]

@@ -59,10 +59,14 @@ def _shard_rows(arrays, mesh, b: int):
     """Place host batch arrays row-sharded over ``mesh`` axis 0, padding the
     batch up to a device multiple first (pad rows replicate row 0 so the
     model math stays benign; their outputs are sliced away).  Returns the
-    device arrays and the padded batch size."""
+    device arrays and the padded batch size.
+
+    Only axis 0 of the mesh carries rows — on a 2-D ``(data, model)``
+    tensor-parallel mesh (:mod:`..parallel.tensor`) the batch pads to the
+    ``data`` extent and every ``model`` column sees the full row set."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    n = mesh.devices.size
+    n = mesh.shape[mesh.axis_names[0]]
     pb = -(-b // n) * n
     out = []
     for a in arrays:

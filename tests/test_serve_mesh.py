@@ -83,3 +83,51 @@ def test_caching_server_mesh_two_program(mesh):
             s.stop()
     for a, b in zip(results["mesh"], results["single"]):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_caching_server_tensor_parallel_extract(mesh):
+    """XL-serving shape: the miss-path extract program is a REAL fine tower
+    sharded Megatron-style over a (data=2, model=4) mesh
+    (parallel/tensor.py); the fuse program row-shards over ``data``.
+    Results match a fully unsharded server."""
+    from coarse_fine_networks_tpu.models import FineNet
+    from coarse_fine_networks_tpu.parallel.tensor import (
+        make_mesh2d, shard_tower_variables, tp_tower_apply)
+
+    tower = FineNet(version="M", n_classes=3, task="loc",
+                    global_tower=True, trunk_layout="plain")
+    rng = np.random.RandomState(3)
+    proto = jnp.asarray(rng.rand(1, 4, 32, 32, 3), jnp.float32)
+    tvars = tower.init({"params": jax.random.PRNGKey(0)}, proto, False)
+
+    def fuse(clips, feats, feat_mask, meta, label_len):
+        f = sum((v.mean(axis=(2, 3, 4)) * feat_mask).sum(axis=1)
+                for v in feats.values())                     # (B,)
+        base = clips.mean(axis=(1, 2, 3)) + f[:, None]
+        return jnp.broadcast_to(base[:, None, :],
+                                (clips.shape[0], label_len, 3))
+
+    vids = [(rng.rand(6, 32, 32, 3).astype(np.float32),
+             rng.rand(8, 32, 32, 3).astype(np.float32)) for _ in range(3)]
+    results = {}
+    for name in ("tp", "single"):
+        if name == "tp":
+            mesh2 = make_mesh2d(2, 4)
+            tp_vars = shard_tower_variables(tvars, mesh2)
+            jit_apply, _ = tp_tower_apply(tower, mesh2)
+            extract = lambda fine: jit_apply(tp_vars, fine)
+            m = mesh2
+        else:
+            extract = jax.jit(lambda fine: tower.apply(tvars, fine, False))
+            m = None
+        s = CachingVideoServer(extract_fn=extract, fuse_fn=fuse,
+                               max_batch=4, max_wait_ms=50,
+                               bucket_multiple=8, mesh=m).start()
+        try:
+            futs = [s.submit(c, f, video_id=f"tp{i}")
+                    for i, (c, f) in enumerate(vids)]
+            results[name] = [fu.result(timeout=180) for fu in futs]
+        finally:
+            s.stop()
+    for a, b in zip(results["tp"], results["single"]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
