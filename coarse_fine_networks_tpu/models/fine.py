@@ -62,6 +62,9 @@ class FineNet(nn.Module):
     fold_pw: bool = False
     trunk_layout: str = "auto"  # "fold4": stem+layer1 row-folded
     # (ops/fold.py); "auto" = fold4 on TPU when shapes allow, else plain
+    channel_pad: int = 1  # round mid/head widths up to this multiple so the
+    # tensor-parallel tower's sharded channel dims divide the model mesh
+    # axis (parallel/tensor.py); padded params are zero ⇒ outputs exact
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -71,6 +74,10 @@ class FineNet(nn.Module):
 
         layout = _resolve_trunk_layout(self.trunk_layout, x,
                                        self.t_downsample)
+        if self.channel_pad > 1:
+            # TP channel padding shards over `model`; the fold4 Pallas
+            # kernels register batch-axis partitioning only — force plain.
+            layout = "plain"
         fold1 = layout == "fold4" and not self.t_downsample
         if fold1:
             from ..ops.fold import from_fold4
@@ -96,14 +103,18 @@ class FineNet(nn.Module):
                     t_downsample=self.t_downsample,
                     bn_splits=self.bn_splits, remat=self.remat,
                     dw_impl=self.dw_impl, fold_pw=self.fold_pw and i == 0,
+                    channel_pad=self.channel_pad,
                     name=f"layer{i + 1}",
                 )(x, train)
             if self.global_tower:
                 feat_g[f"layer{i + 1}"] = adaptive_avg_pool_spatial(x, TOWER_HW)
 
-        x = X3DHead(planes[3][0], self.bn_splits, name="head")(x, train)
+        x = X3DHead(planes[3][0], self.bn_splits,
+                    channel_pad=self.channel_pad, name="head")(x, train)
         if self.global_tower:
-            feat_g["conv5"] = adaptive_avg_pool_spatial(x, TOWER_HW)
+            # public feature surface: slice any TP channel padding back off
+            feat_g["conv5"] = adaptive_avg_pool_spatial(
+                x[..., : planes[3][0]], TOWER_HW)
             return feat_g
 
         # Task pooling (x3d_fine.py:252-255, 366): 'loc' keeps T.
@@ -112,7 +123,7 @@ class FineNet(nn.Module):
         else:
             x = jnp.mean(x, axis=(2, 3), keepdims=True)
         if self.extract_feat:
-            return x
+            return x[..., : planes[3][0]]
 
         x = nn.Conv(2048, (1, 1, 1), use_bias=False, name="fc1",
                     kernel_init=kaiming_normal, dtype=x.dtype)(x)

@@ -154,13 +154,21 @@ def aggregate_sub_bn_stats(batch_stats: dict) -> dict:
 
 class SqueezeExcite(nn.Module):
     """SE block applied on even-indexed bottlenecks (x3d_fine.py:123-128,
-    157-163)."""
+    157-163).
+
+    ``width`` overrides the squeeze width; the tensor-parallel padded tower
+    (parallel/tensor.py) keeps the *original* ``round_width(mid)`` while
+    ``planes`` is channel-padded, so the fc1/fc2 kernels stay
+    checkpoint-compatible up to zero columns.
+    """
 
     planes: int
+    width: int | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        width = round_width(self.planes)
+        width = self.width if self.width is not None else round_width(
+            self.planes)
         s = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
         s = nn.Conv(width, (1, 1, 1), use_bias=True, name="fc1",
                     kernel_init=kaiming_normal, dtype=x.dtype)(s)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pallas.dw_conv import depthwise_conv3d
-from .layers import SubBatchNorm, SqueezeExcite, kaiming_normal, swish
+from .layers import (SubBatchNorm, SqueezeExcite, kaiming_normal,
+                     round_width, swish)
 
 
 class DepthwiseConv(nn.Module):
@@ -85,9 +86,25 @@ def _d2s(x: jax.Array, c_out: int) -> jax.Array:
                                                     c_out)
 
 
+def _pad_width(width: int, multiple: int) -> int:
+    """Round ``width`` up to a multiple (tensor-parallel channel padding)."""
+    return -(-width // multiple) * multiple
+
+
 class Bottleneck(nn.Module):
     """X3D bottleneck (x3d_fine.py:108-175): 1×1×1 expand → depthwise 3³
-    (+stride) → SE (even index) → Swish → 1×1×1 project → residual + ReLU."""
+    (+stride) → SE (even index) → Swish → 1×1×1 project → residual + ReLU.
+
+    ``channel_pad > 1`` rounds the mid (expansion) width up to that multiple
+    so every channel-sharded dimension of the tensor-parallel tower divides
+    the ``model`` mesh axis (parallel/tensor.py).  Zero-filled padded
+    parameters make the extra channels exactly inert: conv1's zero columns
+    emit zero activations, BN with scale=bias=mean=0/var=1 maps 0→0, the
+    depthwise conv and Swish preserve zeros, the SE gate multiplies a zero
+    activation, and conv3's zero rows contribute nothing to the projection.
+    The SE squeeze width stays ``round_width(mid_planes)`` of the *original*
+    mid so fc1/fc2 shapes match the unpadded checkpoint up to zero blocks.
+    """
 
     mid_planes: int
     out_planes: int
@@ -99,16 +116,18 @@ class Bottleneck(nn.Module):
     dw_impl: str = "lax"
     fold_pw: bool = False  # run conv1 in 2×2 space-to-depth space (exact;
     # K=4·C_in feeds the MXU better than tiny C_in at high resolution)
+    channel_pad: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         s = self.stride
         strides = (s, s, s) if self.t_downsample else (1, s, s)
         residual = x
+        mid_p = _pad_width(self.mid_planes, self.channel_pad)
 
         if self.fold_pw and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
-            w1 = _Conv1x1Param(x.shape[-1], self.mid_planes, name="conv1")()
-            c_in, c_mid = x.shape[-1], self.mid_planes
+            w1 = _Conv1x1Param(x.shape[-1], mid_p, name="conv1")()
+            c_in, c_mid = x.shape[-1], mid_p
             # block-diagonal expansion: out_s2d[(pq,c')] = Σ_c W[c,c']·x[(pq,c)]
             wbd = jnp.zeros((4 * c_in, 4 * c_mid), w1.dtype)
             for pq in range(4):
@@ -121,18 +140,19 @@ class Bottleneck(nn.Module):
                 preferred_element_type=x.dtype)
             out = _d2s(out, c_mid)
         else:
-            out = nn.Conv(self.mid_planes, (1, 1, 1), use_bias=False,
+            out = nn.Conv(mid_p, (1, 1, 1), use_bias=False,
                           name="conv1", kernel_init=kaiming_normal,
                           dtype=x.dtype)(x)
-        out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn1")(out, train)
+        out = SubBatchNorm(mid_p, self.bn_splits, name="bn1")(out, train)
         out = nn.relu(out)
 
-        out = DepthwiseConv(self.mid_planes, (3, 3, 3), strides=strides,
+        out = DepthwiseConv(mid_p, (3, 3, 3), strides=strides,
                             impl=self.dw_impl, name="conv2")(out)
-        out = SubBatchNorm(self.mid_planes, self.bn_splits, name="bn2")(out, train)
+        out = SubBatchNorm(mid_p, self.bn_splits, name="bn2")(out, train)
 
         if self.use_se:
-            out = SqueezeExcite(self.mid_planes, name="se")(out)
+            out = SqueezeExcite(mid_p, width=round_width(self.mid_planes),
+                                name="se")(out)
         out = swish(out)
 
         out = nn.Conv(self.out_planes, (1, 1, 1), use_bias=False, name="conv3",
@@ -168,6 +188,7 @@ class X3DStage(nn.Module):
     remat: bool = False
     dw_impl: str = "lax"
     fold_pw: bool = False
+    channel_pad: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -185,6 +206,7 @@ class X3DStage(nn.Module):
                 bn_splits=self.bn_splits,
                 dw_impl=self.dw_impl,
                 fold_pw=self.fold_pw and i == 0,
+                channel_pad=self.channel_pad,
                 name=f"block{i}",
             )(x, train)
         return x
@@ -277,14 +299,21 @@ def _s2d_conv1_s(x: jax.Array, stem: "X3DStem", c_in: int) -> jax.Array:
 
 
 class X3DHead(nn.Module):
-    """conv5 + bn5 + relu (x3d_fine.py:245-251)."""
+    """conv5 + bn5 + relu (x3d_fine.py:245-251).
+
+    ``channel_pad > 1`` widens conv5/bn5 like :class:`Bottleneck` — the
+    caller (``FineNet``) slices the public feature surfaces back to
+    ``out_planes``; the logits path consumes the padded width directly
+    (fc1's zero-padded contraction rows are exact)."""
 
     out_planes: int
     bn_splits: int = 1
+    channel_pad: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(self.out_planes, (1, 1, 1), use_bias=False, name="conv5",
+        out_p = _pad_width(self.out_planes, self.channel_pad)
+        x = nn.Conv(out_p, (1, 1, 1), use_bias=False, name="conv5",
                     kernel_init=kaiming_normal, dtype=x.dtype)(x)
-        x = SubBatchNorm(self.out_planes, self.bn_splits, name="bn5")(x, train)
+        x = SubBatchNorm(out_p, self.bn_splits, name="bn5")(x, train)
         return nn.relu(x)

@@ -18,8 +18,11 @@ from .mesh import (
 from .tensor import (
     MODEL_AXIS,
     make_mesh2d,
+    make_tp_tower,
+    pad_tower_variables,
     shard_tower_variables,
     tower_param_specs,
+    tp_param_bytes,
     tp_tower_apply,
 )
 
@@ -31,7 +34,10 @@ __all__ = [
     "shard_batch",
     "MODEL_AXIS",
     "make_mesh2d",
+    "make_tp_tower",
+    "pad_tower_variables",
     "shard_tower_variables",
     "tower_param_specs",
+    "tp_param_bytes",
     "tp_tower_apply",
 ]

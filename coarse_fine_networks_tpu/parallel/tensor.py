@@ -23,14 +23,28 @@ chips:
 Only the parameters carry sharding annotations — XLA's SPMD partitioner
 propagates them through the conv/elementwise graph and places the
 collectives (the `"How to Scale Your Model"` recipe: pick a mesh, annotate,
-let XLA insert the psums).  Non-divisible channel counts (X3D-M's mid=54
-over 4 chips) are legal: GSPMD pads the uneven shard.
+let XLA insert the psums).
+
+**Non-divisible channel counts are padded, not left uneven.**  JAX rejects a
+``NamedSharding`` whose sharded dim doesn't divide the axis (both for
+``jax.device_put`` placement and for jit in/out shardings), and X3D's mid
+widths rarely divide a 4/8-way axis (M: 54; XL: 162, 306, 630).
+:func:`make_tp_tower` therefore clones the model with
+``channel_pad=model_axis`` — every mid/head width rounds up to the axis
+multiple — and zero-fills the padded parameter slots
+(:func:`pad_tower_variables`).  The zero slots are exactly inert in eval
+mode: zero conv1 columns emit zero activations, BN with
+scale=bias=mean=0 / var=1 maps 0→0, depthwise conv and Swish preserve
+zeros, the SE gate multiplies a zero activation, and conv3's zero rows add
+nothing — so the padded tower's outputs equal the unpadded tower's up to
+float summation order.  (TP is an inference/extract surface; train it
+replicated or data-parallel.)
 
 Use with the plain trunk (XLA convs — the partitioner knows their
 factorisations); the fold4 Pallas stencil kernels register batch-axis
 partitioning only (``ops/pallas/dw_fold.py``) and are a data-parallel
-surface.  ``FineNet(trunk_layout="plain", stem_s2d=True)`` keeps the stem
-MXU-friendly.
+surface.  ``channel_pad > 1`` forces the plain trunk automatically
+(``models/fine.py``).
 
 Reference scope: the reference has no model parallelism at all — its only
 multi-GPU story is ``nn.DataParallel`` batch splitting
@@ -42,6 +56,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -108,22 +123,120 @@ def tower_param_specs(variables: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, ordered)
 
 
+def _is_subbn_stats(node: Any) -> bool:
+    return (isinstance(node, dict)
+            and {"mean", "var", "split_mean", "split_var"} <= set(node))
+
+
+def _pad_leaf(name: str, v: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """Zero-pad ``v`` up to ``shape`` (variance slots pad with ones)."""
+    if tuple(v.shape) == tuple(shape):
+        return v
+    assert len(v.shape) == len(shape), (name, v.shape, shape)
+    fill = 1.0 if name in ("var", "split_var") else 0.0
+    out = jnp.full(shape, fill, v.dtype)
+    return out.at[tuple(slice(0, s) for s in v.shape)].set(v)
+
+
+def pad_tower_variables(variables: Any, padded_shapes: Any) -> Any:
+    """Map unpadded tower variables onto the padded tower's shapes.
+
+    ``padded_shapes`` is the shape pytree of the ``channel_pad`` clone
+    (``jax.eval_shape`` of its init).  Kernels/affine/means pad with zeros
+    and variances with ones, which makes the padded channels inert (module
+    docstring).  SubBN split stats are ``(num_splits*C,)`` flat — they pad
+    per split, not at the tail.
+    """
+
+    def rec(src, dst):
+        if _is_subbn_stats(src):
+            c = src["mean"].shape[0]
+            c_p = dst["mean"].shape[0]
+            out = {}
+            for k, v in src.items():
+                tgt = dst[k].shape
+                if k in ("split_mean", "split_var"):
+                    s = v.shape[0] // c
+                    padded = _pad_leaf(k, v.reshape(s, c), (s, c_p))
+                    out[k] = padded.reshape(-1)
+                    assert out[k].shape == tuple(tgt), (k, out[k].shape, tgt)
+                else:
+                    out[k] = _pad_leaf(k, v, tgt)
+            return out
+        if isinstance(src, dict):
+            assert set(src) == set(dst), (set(src), set(dst))
+            return {k: rec(v, dst[k]) for k, v in src.items()}
+        return _pad_leaf("", src, dst.shape)
+
+    return rec(variables, padded_shapes)
+
+
+def make_tp_tower(model, variables: Any, mesh: Mesh,
+                  example_clips: jax.Array) -> Tuple[Any, Any]:
+    """Build the tensor-parallel tower: ``(tp_model, tp_variables)``.
+
+    Clones ``model`` with ``channel_pad = |model axis|`` (every sharded
+    channel dim then divides the axis), zero-pads ``variables`` into the
+    clone's shapes, and places them with the Megatron column/row shardings.
+    ``tp_model.apply(tp_variables, clips, False)`` under jit matches the
+    original ``model.apply`` output (up to float summation order).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    tp_model = model.clone(channel_pad=n_model)
+    shapes = jax.eval_shape(
+        lambda c: tp_model.init({"params": jax.random.PRNGKey(0)}, c, False),
+        example_clips)
+    padded = pad_tower_variables(variables, shapes)
+    return tp_model, shard_tower_variables(padded, mesh)
+
+
 def shard_tower_variables(variables: Any, mesh: Mesh) -> Any:
-    """Place tower variables with their TP shardings over ``mesh``."""
+    """Place tower variables with their TP shardings over ``mesh``.
+
+    Every sharded dim must divide the ``model`` axis — go through
+    :func:`make_tp_tower` (which channel-pads first) for the X3D widths
+    that don't.
+    """
     specs = tower_param_specs(variables)
-    return jax.tree.map(
-        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
-        variables, specs)
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def put(v, s):
+        for dim, name in enumerate(s):
+            if name == MODEL_AXIS and v.shape[dim] % n_model:
+                raise ValueError(
+                    f"dim {dim} of {v.shape} does not divide the {n_model}-way "
+                    f"model axis; use make_tp_tower() to channel-pad first")
+        return jax.device_put(v, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, variables, specs)
 
 
 def tp_tower_apply(model, mesh: Mesh):
     """``(variables, clips) -> features`` jitted with TP param shardings and
-    batch rows sharded over ``data``.  ``variables`` must already be placed
-    by :func:`shard_tower_variables` (jit then reuses the committed
-    shardings without a resharding copy)."""
+    batch rows sharded over ``data``.  ``model``/``variables`` are the pair
+    returned by :func:`make_tp_tower` (jit reuses the committed shardings
+    without a resharding copy)."""
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
 
     def apply_fn(variables, clips):
         return model.apply(variables, clips, False)
 
     return jax.jit(apply_fn), data_sh
+
+
+def tp_param_bytes(variables: Any, mesh: Mesh) -> Tuple[int, int]:
+    """(replicated_bytes, max per-device sharded bytes) for the tower.
+
+    The point of TP is memory: each device holds ``1/|model|`` of every
+    sharded tensor.  Uses ``NamedSharding.shard_shape`` arithmetic — no
+    placement needed."""
+    specs = tower_param_specs(variables)
+    total = 0
+    per_dev = 0
+    for v, s in zip(jax.tree.leaves(variables), jax.tree.leaves(
+            specs, is_leaf=lambda x: isinstance(x, P))):
+        nbytes = int(np.prod(v.shape)) * v.dtype.itemsize
+        shard = NamedSharding(mesh, s).shard_shape(v.shape)
+        total += nbytes
+        per_dev += int(np.prod(shard)) * v.dtype.itemsize
+    return total, per_dev

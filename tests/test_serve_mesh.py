@@ -90,9 +90,11 @@ def test_caching_server_tensor_parallel_extract(mesh):
     sharded Megatron-style over a (data=2, model=4) mesh
     (parallel/tensor.py); the fuse program row-shards over ``data``.
     Results match a fully unsharded server."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh (2x4 TP mesh inside)")
     from coarse_fine_networks_tpu.models import FineNet
     from coarse_fine_networks_tpu.parallel.tensor import (
-        make_mesh2d, shard_tower_variables, tp_tower_apply)
+        make_mesh2d, make_tp_tower, tp_tower_apply)
 
     tower = FineNet(version="M", n_classes=3, task="loc",
                     global_tower=True, trunk_layout="plain")
@@ -113,8 +115,8 @@ def test_caching_server_tensor_parallel_extract(mesh):
     for name in ("tp", "single"):
         if name == "tp":
             mesh2 = make_mesh2d(2, 4)
-            tp_vars = shard_tower_variables(tvars, mesh2)
-            jit_apply, _ = tp_tower_apply(tower, mesh2)
+            tp_model, tp_vars = make_tp_tower(tower, tvars, mesh2, proto)
+            jit_apply, _ = tp_tower_apply(tp_model, mesh2)
             extract = lambda fine: jit_apply(tp_vars, fine)
             m = mesh2
         else:
