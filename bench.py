@@ -147,11 +147,12 @@ def _train_input_corpus():
     return root, anno, hw
 
 
-def _train_input_loader(root, anno, hw, workers):
+def _train_input_loader(root, anno, hw, workers, pack_dir=None):
     """The REAL train loader (C++ random-crop decode when built, PIL
     otherwise): B clips of T frames @ 224² from per-frame JPEG dirs
     (window frames*2 at stride gamma_tau*2, the published coarse-train
-    sampling — charades_fine.py:151-160)."""
+    sampling — charades_fine.py:151-160).  ``pack_dir`` switches the frame
+    source to `.cfnpack` containers (one open+seeks per clip)."""
     from coarse_fine_networks_tpu.data import (
         CharadesDataset,
         Compose,
@@ -169,10 +170,25 @@ def _train_input_loader(root, anno, hw, workers):
                          task="loc", frames=T * 5, gamma_tau=5,
                          min_frames=10, crop_size=HW,
                          spatial_transform=tform,
-                         decode_backend=os.environ.get("BENCH_DECODE", "auto"))
+                         decode_backend=os.environ.get("BENCH_DECODE", "auto"),
+                         pack_dir=pack_dir)
     return PrefetchLoader(ds, B, lambda b: collate_clips(b, 16, 64),
                           shuffle=True, num_workers=workers, prefetch=4,
                           drop_last=True)
+
+
+def _pack_corpus(root):
+    """Pack the synthetic corpus into .cfnpack containers; returns the pack
+    dir (or None if the native library is unavailable)."""
+    from coarse_fine_networks_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        return None
+    pack_dir = os.path.join(root, "packs")
+    t0 = time.time()
+    n = native_mod.pack_directory(os.path.join(root, "frames"), pack_dir)
+    log(f"packed {n} corpus videos in {time.time() - t0:.1f}s")
+    return pack_dir
 
 
 def _cycle_loader(loader):
@@ -389,10 +405,39 @@ def _bench_input_attached(step, state, batch, lr, key):
     root, anno, hw = _train_input_corpus()
     rate1, _ = _measure_input_rate(
         _train_input_loader(root, anno, hw, workers=1), n_batches=3)
-    log(f"single-worker decode rate: {rate1:.2f} clips/s/core")
+    log(f"single-worker decode rate: {rate1:.2f} clips/s/core (JPEG)")
+
+    # packed-container path (.cfnpack): the rate the production loader
+    # actually runs at (cli.pack_dataset + DriverConfig.pack_dir), plus a
+    # worker-scaling curve so the core budget is a measurement, not an
+    # assertion (VERDICT r03 #4)
+    pack_dir = _pack_corpus(root)
+    rate1_packed = None
+    worker_curve = {}
+    if pack_dir is not None:
+        rate1_packed, _ = _measure_input_rate(
+            _train_input_loader(root, anno, hw, workers=1,
+                                pack_dir=pack_dir), n_batches=3)
+        log(f"single-worker decode rate: {rate1_packed:.2f} clips/s/core "
+            f"(packed; {rate1_packed / max(rate1, 1e-9):.2f}x JPEG)")
+        max_w = int(os.environ.get("BENCH_WORKER_CURVE_MAX",
+                                   min(os.cpu_count() or 2, 4)))
+        for w in sorted({1, 2, max_w}):
+            if w == 1:
+                worker_curve[w] = round(rate1_packed, 2)
+                continue
+            if w > (os.cpu_count() or 1):
+                continue
+            r, _ = _measure_input_rate(
+                _train_input_loader(root, anno, hw, workers=w,
+                                    pack_dir=pack_dir), n_batches=3)
+            worker_curve[w] = round(r, 2)
+        log(f"packed worker curve (clips/s): {worker_curve}")
+
     workers = int(os.environ.get("BENCH_WORKERS",
                                  max((os.cpu_count() or 2) - 2, 1)))
-    loader = _train_input_loader(root, anno, hw, workers=workers)
+    loader = _train_input_loader(root, anno, hw, workers=workers,
+                                 pack_dir=pack_dir)
     it = _cycle_loader(loader)
     hb = next(it)  # warm the pool + fill prefetch
 
@@ -421,12 +466,20 @@ def _bench_input_attached(step, state, batch, lr, key):
     att_dt = (time.time() - t0) / n_att
     log(f"input-attached step time {att_dt * 1e3:.1f} ms "
         f"({workers} decode workers)")
-    return {
+    out = {
         "input_attached_step_ms": round(att_dt * 1e3, 1),
         "input_attached_clips_per_sec": round(B / att_dt, 2),
         "input_clips_per_sec_per_core": round(rate1, 2),
         "input_workers": workers,
+        "input_attached_source": "packed" if pack_dir else "jpeg",
     }
+    if rate1_packed is not None:
+        out["input_packed_clips_per_sec_per_core"] = round(rate1_packed, 2)
+        out["input_packed_vs_jpeg"] = round(
+            rate1_packed / max(rate1, 1e-9), 2)
+        out["input_packed_worker_curve"] = {
+            str(k): v for k, v in worker_curve.items()}
+    return out
 
 
 if __name__ == "__main__":

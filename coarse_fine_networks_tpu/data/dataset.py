@@ -89,6 +89,7 @@ class CharadesDataset:
         num_classes: int = 157,
         crop_size: int = 224,
         decode_backend: str = "auto",
+        pack_dir: Optional[str] = None,
         seed: int = 0,
     ):
         kwargs = {} if min_frames is None else {"min_frames": min_frames}
@@ -135,7 +136,25 @@ class CharadesDataset:
                 "native decode requires a CenterCropScaled-only or "
                 "MultiScaleRandomCropMultigrid+deferred-flip transform and a "
                 "built native library")
+        # .cfnpack packed containers (native/cfn_data.cpp): one indexed file
+        # per video instead of thousands of frame JPEGs — one open+seek per
+        # clip rather than T file opens, the dominant host cost on networked
+        # filesystems.  Falls back per-video to the JPEG layout when the
+        # pack is absent.
+        self.pack_dir = pack_dir if pack_dir and use_native else None
+        self._pack_nf: Dict[str, int] = {}
         self.rng = random.Random(seed)
+
+    def _pack_for(self, vid: str):
+        """(pack_path, num_frames) or (None, 0) when not packed."""
+        if self.pack_dir is None:
+            return None, 0
+        path = os.path.join(self.pack_dir, vid + ".cfnpack")
+        nf = self._pack_nf.get(vid)
+        if nf is None:
+            nf = native.pack_num_frames(path) if os.path.exists(path) else -1
+            self._pack_nf[vid] = nf
+        return (path, nf) if nf >= 0 else (None, 0)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -178,12 +197,21 @@ class CharadesDataset:
                           and self.split != "testing"))
         flip = False
         if use_native:
-            paths = []
-            for i in range(start_f, start_f + frames, stride_f):
-                p = os.path.join(self.root, vid, f"{vid}-{i:06d}.jpg")
-                if not os.path.exists(p):
-                    break  # stop at first gap (charades_fine.py:54-55)
-                paths.append(p)
+            pack, pack_nf = self._pack_for(vid)
+            if pack is not None:
+                # pack index f-1 holds frame vid-%06d.jpg with f 1-based;
+                # stopping at pack_nf matches the JPEG path's stop-at-gap
+                # (the pack is built from the contiguous frame listing)
+                indices = [i - 1 for i in
+                           range(start_f, start_f + frames, stride_f)
+                           if i - 1 < pack_nf]
+            else:
+                paths = []
+                for i in range(start_f, start_f + frames, stride_f):
+                    p = os.path.join(self.root, vid, f"{vid}-{i:06d}.jpg")
+                    if not os.path.exists(p):
+                        break  # stop at first gap (charades_fine.py:54-55)
+                    paths.append(p)
             if self.native_train is not None and self.split != "testing":
                 # same per-clip randomisation protocol (and RNG consumption)
                 # as the Python path (charades_fine.py:170-173); the crop
@@ -193,8 +221,14 @@ class CharadesDataset:
                 for t in self.spatial_transform.transforms:
                     if isinstance(t, RandomHorizontalFlip) and t.deferred:
                         flip = t.flipped
-                arr = native.decode_batch_random_crop(
-                    paths, mt.size, mt.scale, mt.tl_x, mt.tl_y)
+                if pack is not None:
+                    arr = native.decode_packed_random_crop(
+                        pack, indices, mt.size, mt.scale, mt.tl_x, mt.tl_y)
+                else:
+                    arr = native.decode_batch_random_crop(
+                        paths, mt.size, mt.scale, mt.tl_x, mt.tl_y)
+            elif pack is not None:
+                arr = native.decode_packed(pack, indices, self.native_crop)
             else:
                 arr = native.decode_batch(paths, self.native_crop)
         else:

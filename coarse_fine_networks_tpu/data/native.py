@@ -181,6 +181,39 @@ def pack_video(paths: Sequence[str], out_path: str) -> None:
         raise IOError(f"pack_video failed rc={rc}")
 
 
+def pack_directory(root: str, out_dir: str, vids=None,
+                   skip_existing: bool = True) -> int:
+    """Pack every ``root/<vid>/<vid>-%06d.jpg`` frame directory into
+    ``out_dir/<vid>.cfnpack``.  Returns the number of packs written.
+
+    The pack concatenates the *contiguous* 1-based frame run (stopping at
+    the first gap, matching the loaders' stop-at-gap semantics,
+    ``charades_fine.py:54-55``), so pack index ``i`` is frame ``i+1``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if vids is None:
+        vids = sorted(d for d in os.listdir(root)
+                      if os.path.isdir(os.path.join(root, d)))
+    written = 0
+    for vid in vids:
+        out = os.path.join(out_dir, vid + ".cfnpack")
+        if skip_existing and os.path.exists(out):
+            continue
+        paths = []
+        i = 1
+        while True:
+            p = os.path.join(root, vid, f"{vid}-{i:06d}.jpg")
+            if not os.path.exists(p):
+                break
+            paths.append(p)
+            i += 1
+        if paths:
+            pack_video(paths, out)
+            written += 1
+    return written
+
+
 def pack_num_frames(pack_path: str) -> int:
     lib = _load()
     assert lib is not None

@@ -47,6 +47,8 @@ class DriverConfig:
     resume: bool = True
     num_workers: int = 4
     prefetch: int = 4
+    pack_dir: "str | None" = None  # .cfnpack container dir (cli.pack_dataset);
+    # per-video fallback to the JPEG frame layout when a pack is missing
     fine_feat_dir: Optional[str] = None
     fusion_lr_mult: Optional[float] = None
     align_corners: bool = True     # fine: True; coarse driver: False

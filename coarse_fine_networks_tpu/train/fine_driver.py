@@ -70,7 +70,8 @@ def build_fine_loaders(cfg: DriverConfig):
     train_t, val_t = build_transforms(cfg)
     common = dict(task="loc", frames=cfg.frames, gamma_tau=cfg.gamma_tau,
                   min_frames=cfg.min_frames, num_classes=cfg.num_classes,
-                  crop_size=cfg.crop_size)
+                  crop_size=cfg.crop_size,
+                  pack_dir=cfg.pack_dir)
     train_ds = CharadesDataset(cfg.anno, "training", cfg.root,
                                spatial_transform=train_t, crops=1, **common)
     val_ds = CharadesDataset(cfg.anno, "testing", cfg.root,

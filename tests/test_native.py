@@ -119,6 +119,58 @@ def test_decode_packed_random_crop(frames, tmp_path):
     np.testing.assert_array_equal(got, direct)
 
 
+def test_dataset_pack_dir_matches_jpeg_path(tmp_path):
+    """CharadesDataset(pack_dir=...) yields byte-identical samples to the
+    per-frame-JPEG native path (same seed -> same crop windows), for both
+    the train random-crop and the val center-crop pipelines, and falls back
+    to JPEGs for unpacked videos."""
+    from coarse_fine_networks_tpu.data import (
+        CharadesDataset,
+        CenterCropScaled,
+        Compose,
+        MultiScaleRandomCropMultigrid,
+        RandomHorizontalFlip,
+    )
+
+    anno = generate_mini_charades(str(tmp_path), num_videos=3, num_frames=24,
+                                  hw=40)
+    frames_root = os.path.join(str(tmp_path), "frames")
+    pack_dir = os.path.join(str(tmp_path), "packs")
+    vids = sorted(os.listdir(frames_root))
+    # pack all but the last video: exercises the per-video JPEG fallback
+    n = native.pack_directory(frames_root, pack_dir, vids=vids[:-1])
+    assert n == len(vids) - 1
+
+    kwargs = dict(task="loc", frames=4, gamma_tau=1, min_frames=5)
+    train_t = lambda: Compose([  # noqa: E731
+        MultiScaleRandomCropMultigrid([1.0, 0.875], 32),
+        RandomHorizontalFlip(deferred=True),
+    ])
+    for split, tf in (("training", train_t()), ("testing",
+                                                Compose([CenterCropScaled(32)]))):
+        a = CharadesDataset(anno, split, frames_root, spatial_transform=tf,
+                            decode_backend="native", seed=7, **kwargs)
+        tf2 = train_t() if split == "training" else Compose(
+            [CenterCropScaled(32)])
+        b = CharadesDataset(anno, split, frames_root, spatial_transform=tf2,
+                            decode_backend="native", pack_dir=pack_dir,
+                            seed=7, **kwargs)
+        import random as _random
+
+        for i in range(len(a)):
+            # transforms draw crop params from the global `random` module;
+            # pin it so both datasets see identical crop windows
+            _random.seed(1000 + i)
+            sa = a[i]
+            # decode outputs are bufpool views — copy before the next decode
+            sa_clips = np.array(sa["clips"])
+            _random.seed(1000 + i)
+            sb = b[i]
+            np.testing.assert_array_equal(sa_clips, sb["clips"])
+            np.testing.assert_array_equal(sa["label"], sb["label"])
+            assert sa["flip"] == sb["flip"]
+
+
 def test_dataset_native_train_path(tmp_path):
     """Training sampling via the C++ random-crop decoder: same RNG protocol
     (crop window + flip decision identical to the PIL path under the same

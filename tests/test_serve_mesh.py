@@ -85,6 +85,60 @@ def test_caching_server_mesh_two_program(mesh):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
+def test_caching_server_real_pipeline_dp(mesh):
+    """The shipped serving path end-to-end: the REAL CoarseFinePipeline
+    (fold4 trunk + interpret stencil kernels — the TPU default) served
+    data-parallel over the mesh via CachingVideoServer, asserting cold AND
+    warm (feature-cache-hit) parity with single-device serving.  Covers the
+    whole-video val surface (train_coarse_fineFEAT.py:215-263) under the
+    mesh with the production model, not a stub apply."""
+    import functools
+
+    from coarse_fine_networks_tpu.models import CoarseFinePipeline
+    from coarse_fine_networks_tpu.serve import FeatureCache
+
+    h, t, tf, n_classes = 32, 8, 8, 7
+    m = CoarseFinePipeline(n_classes=n_classes, trunk_layout="fold4",
+                           dw_impl="interpret")
+    v = jax.jit(lambda: m.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, t, h, h, 3)), jnp.zeros((1, tf, h, h, 3)),
+        jnp.asarray([[0, t, tf, 1]], jnp.int32)))()
+
+    rng = np.random.RandomState(5)
+    vids = [(rng.rand(t - 2, h, h, 3).astype(np.float32),
+             rng.rand(tf - 2, h, h, 3).astype(np.float32))
+            for _ in range(2)]
+    results = {}
+    for name, msh in (("mesh", mesh), ("single", None)):
+        s = CachingVideoServer(
+            extract_fn=functools.partial(m.apply, v,
+                                         method=CoarseFinePipeline.extract),
+            fuse_fn=functools.partial(m.apply, v,
+                                      method=CoarseFinePipeline.fuse),
+            cache=FeatureCache(capacity_bytes=1 << 28),
+            max_batch=4, max_wait_ms=50, bucket_multiple=8, mesh=msh,
+        ).start()
+        try:
+            futs = [s.submit(c, f, video_id=f"rp{i}")
+                    for i, (c, f) in enumerate(vids)]
+            out = [fu.result(timeout=600) for fu in futs]
+            # warm pass: cache hit, no fine pixels submitted
+            out.append(s.submit(vids[0][0],
+                                video_id="rp0").result(timeout=600))
+            assert s.cache.hits == 1
+            results[name] = out
+        finally:
+            s.stop()
+    for a, b in zip(results["mesh"], results["single"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # warm output == cold output for the same video (both serving modes)
+    for name in ("mesh", "single"):
+        np.testing.assert_allclose(results[name][2], results[name][0],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_caching_server_tensor_parallel_extract(mesh):
     """XL-serving shape: the miss-path extract program is a REAL fine tower
     sharded Megatron-style over a (data=2, model=4) mesh
