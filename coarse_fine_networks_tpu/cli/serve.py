@@ -34,22 +34,30 @@ def assemble_pipeline_variables(ckpt: str | None, fine_ckpt: str | None,
     """Joint pipeline variables from either one joint checkpoint (params
     already nested under ``fine``/``coarse``) or the two per-stream driver
     checkpoints (``train_fine`` + ``train_coarse_fineFEAT`` outputs — the
-    reference's deployment artifacts)."""
+    reference's deployment artifacts).
+
+    SubBN eval stats are refreshed from the stored split stats here
+    (``aggregate_sub_bn_stats`` — the reference does the same before any
+    eval-mode use, ``extract_fineFEAT.py:138``); training checkpoints only
+    maintain the split stats, so serving without aggregation would
+    normalise with init-valued eval stats."""
+    from ..models.layers import aggregate_sub_bn_stats
+
     if ckpt:
         v = _load_variables(ckpt)
         if "fine" not in v["params"] or "coarse" not in v["params"]:
             raise ValueError(
                 f"{ckpt} is not a joint pipeline checkpoint; pass "
                 "--fine-ckpt/--coarse-ckpt for per-stream artifacts")
-        return v
+        return dict(v, batch_stats=aggregate_sub_bn_stats(v["batch_stats"]))
     if not (fine_ckpt and coarse_ckpt):
         raise ValueError("need --ckpt or both --fine-ckpt/--coarse-ckpt")
     fv = _load_variables(fine_ckpt)
     cv = _load_variables(coarse_ckpt)
     return {
         "params": {"fine": fv["params"], "coarse": cv["params"]},
-        "batch_stats": {"fine": fv["batch_stats"],
-                        "coarse": cv["batch_stats"]},
+        "batch_stats": aggregate_sub_bn_stats(
+            {"fine": fv["batch_stats"], "coarse": cv["batch_stats"]}),
     }
 
 

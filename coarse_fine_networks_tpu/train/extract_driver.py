@@ -78,12 +78,22 @@ def run(cfg: DriverConfig, save_dir: str, fine_ckpt: Optional[str] = None,
     if fine_ckpt:
         variables = load_pretrained(variables, fine_ckpt, "fine")
         log.info("loaded fine checkpoint %s", fine_ckpt)
+    # SubBN eval stats must be refreshed from the training split stats
+    # before any eval-mode forward (extract_fineFEAT.py:138) — checkpoints
+    # store the split stats; without this the tower normalises with the
+    # init-valued eval stats and the taps explode multiplicatively.
+    from ..models.layers import aggregate_sub_bn_stats
+
+    variables = dict(variables,
+                     batch_stats=aggregate_sub_bn_stats(
+                         variables["batch_stats"]))
 
     @jax.jit
     def tower(clips):
         return model.apply(variables, clips, False)
 
     count = 0
+    nonfinite = 0
     for loader in loaders():
         for batch in loader:
             mb = model_batch(batch, train=False)
@@ -91,11 +101,24 @@ def run(cfg: DriverConfig, save_dir: str, fine_ckpt: Optional[str] = None,
             # valid temporal frames (padding produces garbage taps — slice off)
             t_valid = int(np.asarray(batch["clip_mask"]).sum())
             vid = batch["vids"][0]
+            bad = False
             for k in FEAT_KEYS:
                 arr = np.asarray(feats[k][0, :t_valid])  # (T, 7, 7, C)
+                bad = bad or not np.isfinite(arr).all()
                 np.save(os.path.join(save_dir, k, vid + ".npy"), arr)
+            if bad:
+                if nonfinite == 0:
+                    log.warning(
+                        "non-finite features for %s — the fine checkpoint's "
+                        "BN running stats are unusable (a barely-trained "
+                        "model's eval stats are still init-dominated); coarse "
+                        "training on this bank will saturate", vid)
+                nonfinite += 1
             count += 1
             if count % 20 == 0:
                 log.info("extracted %d videos", count)
+    if nonfinite:
+        log.warning("extraction: %d/%d videos had non-finite features",
+                    nonfinite, count)
     log.info("extraction done: %d videos → %s", count, save_dir)
     return count

@@ -243,3 +243,40 @@ def test_default_meta_and_fine_mask():
         assert out[0, 4] == tf
     finally:
         server.stop()
+
+
+def test_serve_cli_aggregates_subbn_stats(tmp_path):
+    """Serving checkpoint assembly refreshes SubBN eval stats from the
+    stored split stats (the reference aggregates before any eval-mode use,
+    extract_fineFEAT.py:138).  Training checkpoints only maintain split
+    stats; without aggregation serving would normalise with init-valued
+    eval stats and the tower activations explode multiplicatively
+    (regression caught by tests/test_training_trajectory.py)."""
+    from coarse_fine_networks_tpu.ckpt import save_checkpoint
+    from coarse_fine_networks_tpu.cli.serve import (
+        assemble_pipeline_variables,
+    )
+
+    split_mean = np.asarray([[1.0, 3.0], [3.0, 5.0]], np.float32)
+    split_var = np.asarray([[4.0, 2.0], [8.0, 2.0]], np.float32)
+    stats = {"trunk": {"bn1": {
+        "mean": np.zeros(2, np.float32),
+        "var": np.ones(2, np.float32),
+        "split_mean": split_mean,
+        "split_var": split_var,
+    }}}
+    v = {"params": {"fine": {"w": np.ones(1, np.float32)},
+                    "coarse": {"w": np.ones(1, np.float32)}},
+         "batch_stats": {"fine": stats, "coarse": stats}}
+    path = str(tmp_path / "joint.ckpt")
+    save_checkpoint(path, v)
+
+    out = assemble_pipeline_variables(path, None, None)
+    got = out["batch_stats"]["fine"]["trunk"]["bn1"]
+    exp_mean = split_mean.mean(axis=0)
+    exp_var = (split_var.mean(axis=0)
+               + ((split_mean - exp_mean) ** 2).mean(axis=0))
+    np.testing.assert_allclose(np.asarray(got["mean"]), exp_mean, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["var"]), exp_var, rtol=1e-6)
+    # split stats pass through untouched (training can resume from them)
+    np.testing.assert_array_equal(np.asarray(got["split_mean"]), split_mean)
