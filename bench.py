@@ -311,9 +311,35 @@ def main():
     from coarse_fine_networks_tpu.models import CoarseNet
     from coarse_fine_networks_tpu.train import TrainState, make_train_step
 
+    # pre-s2d clips in the stem conv's preferred layout, produced by the
+    # REAL input-pipeline program (device_normalize_s2d) outside the step —
+    # removes the in-step relayout-copy chain (PERF.md round-4; ~3 ms).
+    s2d_input = (os.environ.get("BENCH_S2D_INPUT", "1") == "1"
+                 and os.environ.get("BENCH_TRUNK", "auto") in ("auto",
+                                                               "fold4")
+                 and jax.default_backend() == "tpu")
+
     rng = np.random.RandomState(0)
+    if s2d_input:
+        from coarse_fine_networks_tpu.data.transforms import (
+            device_normalize_s2d,
+        )
+
+        u8 = jnp.asarray(rng.randint(0, 256, (B, T, HW, HW, 3)), jnp.uint8)
+        flip = np.zeros(B, bool)
+        cm = np.ones((B, T), np.float32)
+        t0 = time.time()
+        clips = device_normalize_s2d(u8, flip, cm, out_dtype=DTYPE)
+        clips.block_until_ready()
+        t0 = time.time()
+        clips = device_normalize_s2d(u8, flip, cm, out_dtype=DTYPE)
+        clips.block_until_ready()
+        log(f"device_normalize_s2d (producer, outside step): "
+            f"{(time.time() - t0) * 1e3:.1f} ms/batch")
+    else:
+        clips = jnp.asarray(rng.rand(B, T, HW, HW, 3), DTYPE)
     batch = {
-        "clips": jnp.asarray(rng.rand(B, T, HW, HW, 3), DTYPE),
+        "clips": clips,
         "feats": {
             k: jnp.asarray(rng.rand(B, TF, 7, 7, c), jnp.float32)
             for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
@@ -330,8 +356,10 @@ def main():
                       compute_dtype=DTYPE,
                       remat=os.environ.get("BENCH_REMAT", "0") == "1",
                       stem_s2d=os.environ.get("BENCH_S2D", "1") == "1",
+                      stem_s2d_input=s2d_input,
                       fold_pw=os.environ.get("BENCH_FOLD_PW", "0") == "1",
-                      trunk_layout=os.environ.get("BENCH_TRUNK", "auto"))
+                      trunk_layout=("fold4" if s2d_input else
+                                    os.environ.get("BENCH_TRUNK", "auto")))
     log(f"init: B={B} T={T} HW={HW} TF={TF} dtype={DTYPE.__name__} "
         f"device={jax.devices()[0]}")
     t0 = time.time()
@@ -453,7 +481,19 @@ def _bench_input_attached(step, state, batch, lr, key):
         ck = np.asarray(hb["clips"])[:, 0]       # (B, n_crops, T, H, W, 3)
         ck = ck[:, :T] if ck.shape[1] >= T else np.concatenate(
             [ck, np.zeros((B, T - ck.shape[1]) + ck.shape[2:], ck.dtype)], 1)
-        return {**batch, "clips": jnp.asarray(ck, DTYPE),
+        if batch["clips"].ndim == 5 and batch["clips"].shape[-1] == 12:
+            # stem_s2d_input path: run the real producer program (uint8 H2D
+            # + normalize + s2d pack) — its cost lands in the attached time
+            from coarse_fine_networks_tpu.data.transforms import (
+                device_normalize_s2d,
+            )
+
+            clips = device_normalize_s2d(
+                jnp.asarray(ck), np.zeros(B, bool),
+                np.ones((B, T), np.float32), out_dtype=DTYPE)
+        else:
+            clips = jnp.asarray(ck, DTYPE)
+        return {**batch, "clips": clips,
                 "labels": jnp.asarray(lb), "masks": jnp.asarray(mk)}
 
     n_att = int(os.environ.get("BENCH_ATTACHED_STEPS", 8))

@@ -291,6 +291,54 @@ def _device_normalize(clips_u8, flip, mean, std, out_dtype):
     return jnp.where(flip[:, None, None, None, None], flipped, x)
 
 
+# The layout the stem conv's TPU emitter wants for the pre-s2d input
+# (HLO {4,0,3,2,1}: s2d channels in lanes, batch in sublanes).  Producing
+# clips directly in this format outside the train step removes the
+# relayout-copy chain XLA otherwise inserts inside the hot program
+# (~4.5 ms/step at the bench shape — PERF.md round-4).
+_S2D_MAJOR_TO_MINOR = (1, 2, 3, 0, 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_input_format(device):
+    from jax.experimental.layout import Format, Layout
+
+    return Format(Layout(major_to_minor=_S2D_MAJOR_TO_MINOR),
+                  jax.sharding.SingleDeviceSharding(device))
+
+
+@functools.lru_cache(maxsize=None)
+def _device_normalize_s2d_fn(out_dtype, device):
+    from ..models.x3d_fold import s2d_pack
+
+    def fn(clips_u8, flip, clip_mask, mean, std):
+        x = clips_u8.astype(jnp.float32) / 255.0
+        x = ((x - mean) / std).astype(out_dtype)
+        flipped = x[:, :, :, ::-1, :]
+        x = jnp.where(flip[:, None, None, None, None], flipped, x)
+        x = x * clip_mask[:, :, None, None, None].astype(out_dtype)
+        return s2d_pack(x)
+
+    return jax.jit(fn, out_shardings=_s2d_input_format(device))
+
+
+def device_normalize_s2d(
+    clips_u8: jax.Array,          # (B, T, H, W, 3) uint8
+    flip: jax.Array,              # (B,) bool
+    clip_mask: jax.Array,         # (B, T) — padded frames re-zeroed
+    mean: Sequence[float] = CHARADES_MEAN,
+    std: Sequence[float] = CHARADES_STD,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """:func:`device_normalize` fused with the 2x2 space-to-depth pack,
+    emitted directly in the stem conv's preferred parameter layout — the
+    producer half of the ``stem_s2d_input`` fast path (models/x3d_fold.py).
+    Output: ``(B, T, H/2, W/2, 12)``."""
+    return _device_normalize_s2d_fn(jnp.dtype(out_dtype), jax.devices()[0])(
+        clips_u8, jnp.asarray(flip), jnp.asarray(clip_mask),
+        jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32))
+
+
 def device_normalize(
     clips_u8: jax.Array,          # (B, T, H, W, 3) uint8
     flip: jax.Array,              # (B,) bool — per-clip horizontal flip

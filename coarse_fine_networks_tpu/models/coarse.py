@@ -249,6 +249,10 @@ class CoarseNet(nn.Module):
     remat: bool = False
     dw_impl: str = "lax"
     stem_s2d: bool = True
+    stem_s2d_input: bool = False  # clips arrive pre-s2d_pack'ed
+    # (B, T, H/2, W/2, 12) from the input pipeline
+    # (device_normalize(s2d=True)) so the step skips the relayout chain;
+    # requires trunk_layout="fold4"
     fold_pw: bool = False
     trunk_layout: str = "auto"  # "fold4": stem+layer1 in the row-folded
     # lane-filling layout (ops/fold.py) — same params/math, 2-4x less HBM;
@@ -272,6 +276,9 @@ class CoarseNet(nn.Module):
 
         from .fine import _resolve_trunk_layout
 
+        if self.stem_s2d_input:
+            assert self.trunk_layout == "fold4", \
+                "stem_s2d_input requires trunk_layout='fold4'"
         folded = _resolve_trunk_layout(self.trunk_layout, x) == "fold4"
         if folded:
             from ..ops.fold import from_fold4
@@ -279,7 +286,9 @@ class CoarseNet(nn.Module):
 
             fold_dw = "auto" if self.dw_impl == "lax" else self.dw_impl
             x = FoldedStem(planes[0][1], self.bn_splits,
-                           dw_impl=fold_dw, name="stem")(x, train)
+                           dw_impl=fold_dw,
+                           s2d_input=self.stem_s2d_input,
+                           name="stem")(x, train)
             x = FoldedStage(planes[0][1], planes[0][0], planes[0][1],
                             blocks[0], stride=2, bn_splits=self.bn_splits,
                             remat=self.remat, dw_impl=fold_dw,

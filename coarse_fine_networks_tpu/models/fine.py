@@ -59,6 +59,8 @@ class FineNet(nn.Module):
     remat: bool = False
     dw_impl: str = "lax"
     stem_s2d: bool = True
+    stem_s2d_input: bool = False  # clips arrive pre-s2d_pack'ed
+    # (B, T, H/2, W/2, 12); requires trunk_layout="fold4" (see CoarseNet)
     fold_pw: bool = False
     trunk_layout: str = "auto"  # "fold4": stem+layer1 row-folded
     # (ops/fold.py); "auto" = fold4 on TPU when shapes allow, else plain
@@ -78,6 +80,9 @@ class FineNet(nn.Module):
             # TP channel padding shards over `model`; the fold4 Pallas
             # kernels register batch-axis partitioning only — force plain.
             layout = "plain"
+        if self.stem_s2d_input:
+            assert self.trunk_layout == "fold4", \
+                "stem_s2d_input requires trunk_layout='fold4'"
         fold1 = layout == "fold4" and not self.t_downsample
         if fold1:
             from ..ops.fold import from_fold4
@@ -85,7 +90,9 @@ class FineNet(nn.Module):
 
             fold_dw = "auto" if self.dw_impl == "lax" else self.dw_impl
             x = FoldedStem(planes[0][1], self.bn_splits,
-                           dw_impl=fold_dw, name="stem")(x, train)
+                           dw_impl=fold_dw,
+                           s2d_input=self.stem_s2d_input,
+                           name="stem")(x, train)
         else:
             x = X3DStem(planes[0][1], self.bn_splits, dw_impl=self.dw_impl,
                         s2d=self.stem_s2d, name="stem")(x, train)

@@ -367,7 +367,21 @@ class FoldedStage(nn.Module):
         return x
 
 
-def _conv1s_fold4(x: jax.Array, w: jax.Array, planes: int) -> jax.Array:
+def s2d_pack(x: jax.Array) -> jax.Array:
+    """2x2 space-to-depth: ``(B, T, H, W, C) -> (B, T, H/2, W/2, 4C)`` with
+    channel order ``(phase_y*2 + phase_x)*C + c`` — the input convention of
+    :func:`_conv1s_fold4` with ``pre_s2d=True``.  Producers (the input
+    pipeline's ``device_normalize(s2d=True)``) emit this OUTSIDE the train
+    step so the step's stem reads it directly instead of paying the
+    relayout-copy chain inside the hot program (PERF.md round-4)."""
+    b, t, h, wd, c = x.shape
+    xs = x.reshape(b, t, h // 2, 2, wd // 2, 2, c)
+    return xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, wd // 2,
+                                                     4 * c)
+
+
+def _conv1s_fold4(x: jax.Array, w: jax.Array, planes: int,
+                  pre_s2d: bool = False) -> jax.Array:
     """conv1_s (1x3x3 / s(1,2,2), ``x3d_fine.py:210-216``) emitting fold4
     output **directly from one XLA conv** — no plain-layout intermediate and
     no pack pass.
@@ -381,11 +395,13 @@ def _conv1s_fold4(x: jax.Array, w: jax.Array, planes: int) -> jax.Array:
     a height-5 window at H-stride 4 with one top pad row.  Structural-zero
     pad lanes cost 4/3 extra MACs and buy a write in the exact target tiling.
     """
-    b, t, h, wd, c_in = x.shape
+    if pre_s2d:
+        xs = x
+        c_in = x.shape[-1] // 4
+    else:
+        b, t, h, wd, c_in = x.shape
+        xs = s2d_pack(x)
     p = fold_pad(planes)
-    xs = x.reshape(b, t, h // 2, 2, wd // 2, 2, c_in)
-    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h // 2, wd // 2,
-                                                   4 * c_in)
     w2 = jnp.zeros((1, 5, 2, 4 * c_in, FOLD * p), w.dtype)
     for py in range(FOLD):
         for dy in range(3):
@@ -411,16 +427,18 @@ class FoldedStem(nn.Module):
     planes: int
     bn_splits: int = 1
     dw_impl: str = "auto"
+    s2d_input: bool = False  # x arrives already s2d_pack'ed (B,T,H/2,W/2,4C)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         from .x3d import _Conv1sParam
 
-        c_in = x.shape[-1]
+        c_in = x.shape[-1] // 4 if self.s2d_input else x.shape[-1]
         c = self.planes
         p = fold_pad(c)
         w1 = _Conv1sParam(c, c_in, name="conv1_s")()
-        x = _conv1s_fold4(x, w1, c)                 # (B, T, H/8, W/2, 4P)
+        x = _conv1s_fold4(x, w1, c, pre_s2d=self.s2d_input)
+        # (B, T, H/8, W/2, 4P)
 
         wt = _KernelParam((5, 1, 1, 1, c), name="conv1_t")()
         wl = jnp.pad(wt.reshape(5, c), ((0, 0), (0, p - c)))

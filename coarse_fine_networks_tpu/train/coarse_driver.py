@@ -106,6 +106,15 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
 
 
 def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
+    # Deterministic-by-seed driver runs: the spatial transforms draw their
+    # crop/flip parameters from the global `random` module (the reference's
+    # own protocol, charades_fine.py:170-173) — seed it (and numpy) so two
+    # runs with the same DriverConfig produce the same trajectory (with
+    # num_workers=1; more workers interleave the draws).
+    import random as _pyrandom
+
+    _pyrandom.seed(cfg.seed)
+    np.random.seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     assert cfg.fine_feat_dir, "coarse training needs fine_feat_dir"
@@ -113,18 +122,24 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     log.info("train %d val %d videos", len(train_loader.dataset.data),
              len(val_loader.dataset.data))
 
+    # stem_s2d_input: pre-s2d clips from device_normalize_s2d (single-device
+    # TPU fold4 fast path; the mesh's shard_batch re-lays-out, so gate it)
+    use_s2d = (cfg.stem_s2d_input
+               and not (cfg.mesh_devices and cfg.mesh_devices > 1))
     model = CoarseNet(
         version=cfg.x3d_version, n_classes=cfg.num_classes, task="loc",
         dropout_rate=cfg.dropout, bn_splits=cfg.base_bn_splits,
         t_pool="grid", learned_mixing=True, is_mixing=True, crops=1,
         compute_dtype=jnp.dtype(cfg.compute_dtype), remat=cfg.remat,
+        stem_s2d_input=use_s2d,
+        **({"trunk_layout": "fold4"} if use_s2d else {}),
     )
     # multi-crop testing (x3d_coarse.py:209-211): a sibling module with the
     # crops attribute set — same parameters, different static config
     eval_model = (model if cfg.crops == 1 else
                   model.clone(crops=cfg.crops))
     sample = next(iter(val_loader))
-    mb0 = model_batch(sample, train=False)
+    mb0 = model_batch(sample, train=False, s2d=use_s2d)
     variables = jax.jit(
         lambda: model.init(
             {"params": jax.random.PRNGKey(cfg.seed)},
@@ -195,6 +210,9 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                             axis=1 if len(host_batches) > 1 else 0),
                         host_batches)
                     step_i = int(state.step)
+                    if cfg.record_trajectory:
+                        results.setdefault("trajectory", []).append(
+                            (step_i, float(lr_val), float(metrics["loss"])))
                     if step_i % s_times == 0:
                         log.info("epoch %d step %d lr %.5f (fusion %.5f) "
                                  "loss %.4f mAP %.4f",
@@ -202,6 +220,9 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                                  tot["loss"] / max(tot["n"], 1),
                                  tr_apm.mean())
                         results["train_map"] = tr_apm.mean()
+                        if cfg.record_trajectory:
+                            results.setdefault("train_map_log", []).append(
+                                (step_i, results["train_map"]))
                         tr_apm.reset()
                         tot = {"loss": 0.0, "n": 0}
                     if step_i % cfg.ckpt_every == 0:
@@ -217,7 +238,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                           if cfg.localize_csv else None)
                 nval = 0
                 for batch in val_loader:
-                    mb = model_batch(batch, train=False)
+                    mb = model_batch(batch, train=False,
+                                     s2d=use_s2d)
                     t = mb["clips"].shape[1]
                     if t < cfg.t_lim_inference + 5:
                         out = eval_step(eval_state, mb, cfg.crops)

@@ -29,31 +29,41 @@ log = get_logger()
 
 def prepare_clips(batch: Dict[str, Any], train: bool,
                   mean=CHARADES_MEAN, std=CHARADES_STD,
-                  dtype=jnp.float32) -> jax.Array:
+                  dtype=jnp.float32, s2d: bool = False) -> jax.Array:
     """uint8 host batch → normalised device clips.
 
     Train: squeeze the crops axis (``train_fine.py:179``).
     Test: fold crops into batch (``train_fine.py:184-187``).
     Padded frames are re-zeroed post-normalisation so they match the
     reference's zero padding of normalised tensors (see collate_clips).
+
+    ``s2d=True`` emits the 2x2 space-to-depth packed clips in the stem
+    conv's preferred layout (the ``stem_s2d_input`` fast path) — the model
+    must be built with ``stem_s2d_input=True``.
     """
     clips = batch["clips"]  # (B, N, T, H, W, 3) uint8
     b, n = clips.shape[:2]
     clips = clips.reshape((b * n,) + clips.shape[2:])
     flip = np.repeat(np.asarray(batch["flip"]), n)
+    cm = np.repeat(np.asarray(batch["clip_mask"]), n, axis=0)
+    if s2d:
+        from ..data.transforms import device_normalize_s2d
+
+        return device_normalize_s2d(jnp.asarray(clips), flip, cm,
+                                    mean, std, out_dtype=dtype)
     x = device_normalize(jnp.asarray(clips), flip, mean, std, out_dtype=dtype)
-    cm = jnp.repeat(jnp.asarray(batch["clip_mask"]), n, axis=0)
-    return x * cm[:, :, None, None, None]
+    return x * jnp.asarray(cm)[:, :, None, None, None]
 
 
 def model_batch(batch: Dict[str, Any], train: bool,
-                dtype=jnp.float32) -> Dict[str, Any]:
+                dtype=jnp.float32, s2d: bool = False) -> Dict[str, Any]:
     """Assemble the device batch dict consumed by train/eval steps.
 
     ``dtype`` should be the model's compute dtype so the normalised clips go
-    straight to the trunk without a convert pass."""
+    straight to the trunk without a convert pass.  ``s2d``: see
+    :func:`prepare_clips`."""
     out = {
-        "clips": prepare_clips(batch, train, dtype=dtype),
+        "clips": prepare_clips(batch, train, dtype=dtype, s2d=s2d),
         "labels": jnp.asarray(batch["labels"]),
         "masks": jnp.asarray(batch["masks"]),
     }
@@ -93,13 +103,14 @@ def iter_train_batches(loader, cfg: DriverConfig, mesh=None,
     # multi-process: the loader yields this host's shard of the global batch;
     # batch_size overrides cfg (the multigrid schedule scales it per phase)
     local_bs = (batch_size or cfg.batch_size) // jax.process_count()
+    s2d = getattr(cfg, "stem_s2d_input", False) and mesh is None
     pending_mb: list = []
     pending_host: list = []
     key_shape = None
     for batch in loader:
         if batch["clips"].shape[0] != local_bs:
             continue
-        mb = model_batch(batch, train=True, dtype=dtype)
+        mb = model_batch(batch, train=True, dtype=dtype, s2d=s2d)
         if accum == 1:
             if mesh is not None:
                 from ..parallel import shard_batch

@@ -49,6 +49,15 @@ class DriverConfig:
     prefetch: int = 4
     pack_dir: "str | None" = None  # .cfnpack container dir (cli.pack_dataset);
     # per-video fallback to the JPEG frame layout when a pack is missing
+    stem_s2d_input: bool = False   # coarse driver: feed the trunk pre-s2d
+    # clips in the stem conv's preferred layout (device_normalize_s2d ->
+    # CoarseNet(stem_s2d_input=True)); removes the in-step relayout-copy
+    # chain (~3 ms/step at the bench shape).  TPU fold4 single-device only
+    # (the sharded batch path re-lays-out under a mesh).
+    record_trajectory: bool = False  # drivers append (step, lr, loss) per
+    # step + the periodic train-mAP readings to results — the in-repo
+    # analogue of the reference's captured training log
+    # (log_coarse_fine_train.txt) for regression harnesses
     fine_feat_dir: Optional[str] = None
     fusion_lr_mult: Optional[float] = None
     align_corners: bool = True     # fine: True; coarse driver: False
@@ -83,5 +92,12 @@ class DriverConfig:
 
     @property
     def scales(self) -> Tuple[float, float]:
+        """Random-crop scale range: the PUBLISHED crop/resize ratio of the
+        version (M: 224/(256, 320) = (0.875, 0.7) — train_fine.py:59-61,74),
+        independent of ``crop_size_override``.  Deriving it from the override
+        (32/256 = 0.125 at test scale) makes the crop grab ~1/8th-side
+        patches: near-constant clips zero the BN batch variance and saturate
+        the net (found by tests/test_training_trajectory.py)."""
         r = RESIZE_SIZE[self.x3d_version]
-        return tuple(self.crop_size / s for s in r)
+        base = CROP_SIZE[self.x3d_version]
+        return tuple(base / s for s in r)

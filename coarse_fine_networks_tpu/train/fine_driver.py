@@ -128,6 +128,15 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
 
 
 def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
+    # Deterministic-by-seed driver runs: the spatial transforms draw their
+    # crop/flip parameters from the global `random` module (the reference's
+    # own protocol, charades_fine.py:170-173) — seed it (and numpy) so two
+    # runs with the same DriverConfig produce the same trajectory (with
+    # num_workers=1; more workers interleave the draws).
+    import random as _pyrandom
+
+    _pyrandom.seed(cfg.seed)
+    np.random.seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     train_loader, val_loader = build_fine_loaders(cfg)
@@ -241,6 +250,10 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                     tot["cls"] += float(metrics["cls_loss"])
                     tot["loc"] += float(metrics["loc_loss"])
                     tot["n"] += 1
+                    if cfg.record_trajectory:
+                        results.setdefault("trajectory", []).append(
+                            (int(state.step), float(lr),
+                             float(metrics["loss"])))
                     _add_ap_batches(
                         tr_apm,
                         host_local_rows(
@@ -256,6 +269,9 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
                             tot["cls"] / max(tot["n"], 1),
                             tot["loc"] / max(tot["n"], 1), tr_apm.mean())
                         results["train_map"] = tr_apm.mean()
+                        if cfg.record_trajectory:
+                            results.setdefault("train_map_log", []).append(
+                                (step_i, results["train_map"]))
                         tr_apm.reset()
                         tot = {"loss": 0.0, "cls": 0.0, "loc": 0.0, "n": 0}
                     if step_i % cfg.ckpt_every == 0:

@@ -354,3 +354,67 @@ def test_folded_bottleneck_gradients_flow():
     for path, leaf in leaves:
         assert np.isfinite(np.asarray(leaf)).all(), path
         assert float(jnp.abs(leaf).max()) > 0, path
+
+
+def test_stem_s2d_input_matches_internal_s2d():
+    """FoldedStem(s2d_input=True) on s2d_pack'ed clips == the stem doing its
+    own space-to-depth — the step half of the pre-s2d input fast path
+    (the producer half is device_normalize_s2d)."""
+    from coarse_fine_networks_tpu.models.x3d_fold import s2d_pack
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), jnp.float32)
+    stem = FoldedStem(planes=24)
+    stem_pre = FoldedStem(planes=24, s2d_input=True)
+    v = stem.init({"params": jax.random.PRNGKey(3)}, x, True)
+    ref = stem.apply(v, x, False)
+    got = stem_pre.apply(v, s2d_pack(x), False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_device_normalize_s2d_matches_unfused():
+    """device_normalize_s2d == s2d_pack(mask * device_normalize) — the
+    producer half of the stem_s2d_input path (flip + mask + pack fused into
+    one program emitting the stem's preferred layout)."""
+    from coarse_fine_networks_tpu.data.transforms import (
+        device_normalize,
+        device_normalize_s2d,
+    )
+    from coarse_fine_networks_tpu.models.x3d_fold import s2d_pack
+
+    rng = np.random.RandomState(12)
+    u8 = jnp.asarray(rng.randint(0, 256, (2, 4, 16, 16, 3)), jnp.uint8)
+    flip = np.asarray([True, False])
+    cm = np.ones((2, 4), np.float32)
+    cm[1, 3] = 0.0
+    ref = device_normalize(u8, flip)
+    ref = s2d_pack(ref * jnp.asarray(cm)[:, :, None, None, None])
+    got = device_normalize_s2d(u8, flip, cm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_coarse_net_stem_s2d_input_matches():
+    """CoarseNet(stem_s2d_input=True) end-to-end == the default fold4 net on
+    the same (pre-packed) clips."""
+    from coarse_fine_networks_tpu.models import CoarseNet
+    from coarse_fine_networks_tpu.models.x3d_fold import s2d_pack
+
+    rng = np.random.RandomState(13)
+    b, t, hw, tf, n = 1, 8, 32, 8, 5
+    clips = jnp.asarray(rng.rand(b, t, hw, hw, 3), jnp.float32)
+    feats = {k: jnp.asarray(rng.rand(b, tf, 7, 7, c), jnp.float32)
+             for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
+                          ("layer4", 192), ("conv5", 432)]}
+    fm = jnp.ones((b, tf), jnp.float32)
+    meta = jnp.asarray([[0, t, tf, 1]] * b, jnp.int32)
+    kw = dict(version="M", n_classes=n, task="loc", t_pool="grid",
+              learned_mixing=True, is_mixing=True)
+    m0 = CoarseNet(trunk_layout="fold4", **kw)
+    m1 = CoarseNet(trunk_layout="fold4", stem_s2d_input=True, **kw)
+    v = jax.jit(lambda: m0.init({"params": jax.random.PRNGKey(0)}, clips,
+                                feats, fm, meta, False))()
+    ref = jax.jit(lambda v: m0.apply(v, clips, feats, fm, meta, False))(v)
+    got = jax.jit(lambda v: m1.apply(v, s2d_pack(clips), feats, fm, meta,
+                                     False))(v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -154,3 +154,33 @@ def test_coarse_driver_chunked_long_video_eval(mini):
                 save_dir=os.path.join(root, "models_chunk"))
     res = coarse_driver.run(ccfg)
     assert "val_map" in res and np.isfinite(res["val_map"])
+
+
+@pytest.mark.tpu
+def test_coarse_driver_stem_s2d_input(mini):
+    """DriverConfig.stem_s2d_input: the coarse driver trains and validates
+    with pre-s2d clips in the stem conv's preferred layout
+    (device_normalize_s2d -> CoarseNet(stem_s2d_input=True)) — the
+    single-device TPU fast path the bench runs.  Loss parity with the
+    default input path on the same data/seed."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend (CFN_TEST_TPU=1)")
+    root, anno = mini
+    feat_dir = os.path.join(root, "fine_feats_s2d")
+    fine_driver.run(_cfg(root, anno, save_dir=os.path.join(root, "m_s2d")))
+    ck = sorted(os.listdir(os.path.join(root, "m_s2d")))
+    extract_driver.run(
+        _cfg(root, anno, save_dir=os.path.join(root, "m_s2d")), feat_dir,
+        os.path.join(root, "m_s2d",
+                     [c for c in ck if c.startswith("fine")][-1]))
+    losses = {}
+    for s2d in (False, True):
+        cfg = _cfg(root, anno, save_dir=os.path.join(root, f"m_s2d{s2d}"),
+                   fine_feat_dir=feat_dir, align_corners=False,
+                   stem_s2d_input=s2d, record_trajectory=True)
+        res = coarse_driver.run(cfg)
+        losses[s2d] = [l for _, _, l in res["trajectory"]]
+    assert len(losses[True]) == len(losses[False])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)
