@@ -88,7 +88,12 @@ class SubBatchNorm(nn.Module):
             g_axes = (0,) + tuple(a + 1 for a in reduce_axes)
             mean = jnp.mean(xg, axis=g_axes)          # (S, C)
             mean2 = jnp.mean(jnp.square(xg), axis=g_axes)
-            var = mean2 - jnp.square(mean)            # biased, used to normalise
+            # biased, used to normalise; clamped at 0 because the one-pass
+            # E[x²]−E[x]² form can go negative by f32 cancellation when
+            # |mean| ≫ std (torch's two-pass batch_norm never does, and
+            # rsqrt(negative) would NaN-poison the whole step — seen live
+            # in the trajectory harness when fusion bias maps drift large)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             shape = (1, s) + (1,) * len(reduce_axes) + (c,)
             xn = (xg - mean.reshape(shape)) * jax.lax.rsqrt(
                 var.reshape(shape) + self.eps

@@ -163,7 +163,7 @@ class FoldedSubBatchNorm(nn.Module):
                                   preferred_element_type=dtype)
                 mean = m_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
                 mean2 = m2_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
-                var = mean2 - jnp.square(mean)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # see layers.py: one-pass var can cancel negative
             elif s == 1:
                 # fast path: no singleton group axis (the 6-D reshape makes
                 # XLA pick a batch-major layout for the backward reduction,
@@ -173,7 +173,7 @@ class FoldedSubBatchNorm(nn.Module):
                 m2_l = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
                 mean = m_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
                 mean2 = m2_l.reshape(1, FOLD, p).mean(axis=1)[:, :c]
-                var = mean2 - jnp.square(mean)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # see layers.py: one-pass var can cancel negative
                 if not scale_bias:
                     mean_lane = pad_vec(mean[0], c, p, 0.0)
                     var_lane = pad_vec(var[0], c, p, 1.0)
@@ -189,7 +189,7 @@ class FoldedSubBatchNorm(nn.Module):
                 # reduction)
                 mean = m_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
                 mean2 = m2_l.reshape(s, FOLD, p).mean(axis=1)[:, :c]
-                var = mean2 - jnp.square(mean)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # see layers.py: one-pass var can cancel negative
                 mean_lane = jax.vmap(lambda v: pad_vec(v, c, p, 0.0))(mean)
                 var_lane = jax.vmap(lambda v: pad_vec(v, c, p, 1.0))(var)
                 shape = (1, s, 1, 1, 1, FOLD * p)

@@ -1855,7 +1855,7 @@ def _mm_bn_stats(x, wmm, c, eps, gamma, beta):
     szz = jnp.einsum("io,ij,jo->o", wf, gram, wf, preferred_element_type=F32)
     pool = lambda v: v.reshape(FOLD, p).sum(axis=0)[:c]  # noqa: E731
     mean = pool(sz) / n
-    var = pool(szz) / n - jnp.square(mean)
+    var = jnp.maximum(pool(szz) / n - jnp.square(mean), 0.0)  # see layers.py: one-pass var can cancel negative
     r = jax.lax.rsqrt(var + eps)
     sc_c = gamma * r
     bi_c = beta - mean * sc_c

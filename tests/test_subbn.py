@@ -86,3 +86,44 @@ def test_aggregate_stats_matches_reference_formula():
     np.testing.assert_allclose(
         np.asarray(agg["bnx"]["split_mean"]), stats["bnx"]["split_mean"]
     )
+
+
+def test_large_offset_variance_cancellation_stays_finite():
+    """One-pass batch variance E[x^2]-E[x]^2 can round NEGATIVE in f32 when
+    |mean| >> std (offset ~1e9, true var ~1); rsqrt(negative + eps) then
+    NaN-poisons the whole step.  torch's batch_norm (two-pass/Welford) never
+    produces a negative variance, so ours clamps at 0 — found live by the
+    training-trajectory harness when drifting fusion bias maps pushed trunk
+    activations to ~1e9 (tests/test_training_trajectory.py)."""
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4, 6, 8, 8, 3) + 1.013e9).astype(np.float32)
+    # precondition: the cancellation actually goes negative at this offset
+    xj = jnp.asarray(x)
+    fast_var = np.asarray(
+        jnp.mean(jnp.square(xj), axis=(0, 1, 2, 3))
+        - jnp.square(jnp.mean(xj, axis=(0, 1, 2, 3))))
+    assert (fast_var < -1e5).any(), fast_var
+
+    for splits in (1, 2):
+        (out,), variables = _run_ours(x, num_splits=splits)
+        assert np.isfinite(out).all(), f"splits={splits}"
+        assert np.isfinite(
+            np.asarray(variables["batch_stats"]["split_var"])).all()
+        assert (np.asarray(variables["batch_stats"]["split_var"]) >= 0).all()
+
+
+def test_folded_subbn_large_offset_stays_finite():
+    """The fold4-layout BN twin shares the one-pass variance — same clamp
+    (models/x3d_fold.py)."""
+    from coarse_fine_networks_tpu.models.x3d_fold import FoldedSubBatchNorm
+    from coarse_fine_networks_tpu.ops.fold import to_fold4
+
+    rng = np.random.RandomState(0)
+    c = 3
+    x = (rng.randn(4, 6, 8, 8, c) + 1.013e9).astype(np.float32)
+    xf = to_fold4(jnp.asarray(x))
+    m = FoldedSubBatchNorm(c, 1)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, xf, True)
+    out, upd = m.apply(variables, xf, True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(upd["batch_stats"]["split_var"]) >= 0).all()
