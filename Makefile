@@ -9,7 +9,7 @@
 
 PY ?= python
 
-.PHONY: test test-slow preship bench
+.PHONY: test test-slow preship preship-slow bench
 
 test:
 	$(PY) -m pytest tests/ -x -q -m "not slow and not tpu"
@@ -20,6 +20,13 @@ test-slow:
 preship: test
 	$(PY) __graft_entry__.py
 	@echo "preship gate: GREEN"
+
+# Full gate including the slow tier (training-trajectory regression harness,
+# torch training-dynamics parity): run before any end-of-round snapshot —
+# slow-marked regressions are gated here (VERDICT r04 #2).
+preship-slow: test-slow
+	$(PY) __graft_entry__.py
+	@echo "preship-slow gate: GREEN"
 
 bench:
 	$(PY) bench.py

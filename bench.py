@@ -22,6 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 import jax
+
+# Persistent XLA compilation cache: the coarse train step is a large program
+# (~1.3 TFLOP) and a cold compile is minutes; cache hits bring every later
+# bench/driver start to seconds.  BENCH_CACHE=0 disables (for A/B timing).
+if os.environ.get("BENCH_CACHE", "1") == "1":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from coarse_fine_networks_tpu.utils.hw import (compiled_costs, sync,
@@ -369,19 +381,30 @@ def main():
                            False)
     )()
     state = TrainState.create(variables)
-    log(f"init done in {time.time() - t0:.1f}s")
+    init_s = time.time() - t0
+    log(f"init done in {init_s:.1f}s")
 
     step = make_train_step(model, align_corners=False, fusion_lr_mult=10.0)
     key = jax.random.PRNGKey(0)
     lr = jnp.asarray(0.02)
 
+    # AOT compile once and run the executable directly: calling the jitted
+    # `step` after `.lower().compile()` would trace+compile the whole
+    # program a SECOND time for jit's own dispatch cache (~2x startup).
     t0 = time.time()
     lowered = step.lower(state, batch, lr, key)
+    lower_s = time.time() - t0
+    t0 = time.time()
     compiled = lowered.compile()
+    compile_s = time.time() - t0
     costs = compiled_costs(compiled)
+    step = compiled
+    t0 = time.time()
     state, metrics = step(state, batch, lr, key)
     sync(metrics["loss"])
-    log(f"compile+first step: {time.time() - t0:.1f}s  "
+    first_step_s = time.time() - t0
+    log(f"lower {lower_s:.1f}s  compile {compile_s:.1f}s  "
+        f"first step {first_step_s:.1f}s  "
         f"loss={float(metrics['loss']):.4f}  "
         f"program: {costs['flops'] / 1e12:.2f} TFLOP, "
         f"{costs['bytes'] / 1e9:.2f} GB accessed")
@@ -420,6 +443,9 @@ def main():
         "program_tflop": round(costs["flops"] / 1e12, 3),
         "program_gb": round(costs["bytes"] / 1e9, 2),
         "chip": util["chip"],
+        "init_s": round(init_s, 1),
+        "compile_s": round(lower_s + compile_s, 1),
+        "first_step_s": round(first_step_s, 1),
         **extra,
     }))
 
@@ -499,16 +525,46 @@ def _bench_input_attached(step, state, batch, lr, key):
     n_att = int(os.environ.get("BENCH_ATTACHED_STEPS", 8))
     state, metrics = step(state, attach(hb), lr, key)  # shape-warm the H2D
     sync(metrics["loss"])
+
+    # --- decompose the attached-step gap (VERDICT r04 #4) ---------------
+    # (a) H2D + producer alone, synchronised (no decode, no step):
     t0 = time.time()
-    for _ in range(n_att):
-        state, metrics = step(state, attach(next(it)), lr, key)
+    for _ in range(3):
+        db = attach(hb)
+        jax.block_until_ready(db["clips"])
+    h2d_ms = (time.time() - t0) / 3 * 1e3
+    # (b) decode alone: the measured loader rate above
+    decode_ms = B / max(rate1_packed or rate1, 1e-9) * 1e3
+    log(f"attached breakdown: decode {decode_ms:.0f} ms/batch, "
+        f"h2d+producer {h2d_ms:.0f} ms/batch (sync)")
+
+    # --- overlapped run: H2D + producer for batch N+1 staged in a -------
+    # background thread while step N runs (data/device_prefetch.py)
+    from coarse_fine_networks_tpu.data.device_prefetch import (
+        DevicePrefetcher,
+    )
+
+    def bounded(iterator, n):
+        for _ in range(n):
+            yield next(iterator)
+
+    pf = iter(DevicePrefetcher(bounded(it, n_att + 1), attach, depth=2))
+    state, metrics = step(state, next(pf), lr, key)
+    sync(metrics["loss"])
+    t0 = time.time()
+    for db in pf:
+        state, metrics = step(state, db, lr, key)
     sync(metrics["loss"])
     att_dt = (time.time() - t0) / n_att
     log(f"input-attached step time {att_dt * 1e3:.1f} ms "
-        f"({workers} decode workers)")
+        f"({workers} decode workers, overlapped; "
+        f"ideal max(decode, h2d, step) = "
+        f"{max(decode_ms, h2d_ms):.0f} ms)")
     out = {
         "input_attached_step_ms": round(att_dt * 1e3, 1),
         "input_attached_clips_per_sec": round(B / att_dt, 2),
+        "input_h2d_producer_ms": round(h2d_ms, 1),
+        "input_decode_ms_per_batch": round(decode_ms, 1),
         "input_clips_per_sec_per_core": round(rate1, 2),
         "input_workers": workers,
         "input_attached_source": "packed" if pack_dir else "jpeg",

@@ -22,6 +22,7 @@ from .transforms import (
     MultiScaleRandomCropMultigrid,
     device_normalize,
 )
+from .device_prefetch import DevicePrefetcher, overlap_iter
 from .loader import PrefetchLoader
 
 __all__ = [
@@ -43,5 +44,7 @@ __all__ = [
     "MultiScaleRandomCrop",
     "MultiScaleRandomCropMultigrid",
     "device_normalize",
+    "DevicePrefetcher",
     "PrefetchLoader",
+    "overlap_iter",
 ]

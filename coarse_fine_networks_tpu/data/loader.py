@@ -2,9 +2,11 @@
 
 Replaces the reference's ``torch.utils.data.DataLoader(num_workers=8,
 pin_memory=True)`` (``train_fine.py:84-85``): worker threads decode/transform
-samples ahead of consumption (PIL decode releases the GIL), batches are
-collated on the host and (optionally) pushed to device asynchronously so the
-accelerator never waits on JPEG decode.
+samples ahead of consumption (PIL decode releases the GIL) and batches are
+collated on the host.  The device half of the overlap — H2D transfer + the
+normalize/s2d producer program staged ahead of the running step — is
+:class:`.device_prefetch.DevicePrefetcher`, which the drivers wrap around
+this loader (``train/common.py:iter_train_batches``).
 """
 
 from __future__ import annotations

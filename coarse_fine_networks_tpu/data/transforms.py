@@ -308,7 +308,7 @@ def _s2d_input_format(device):
 
 
 @functools.lru_cache(maxsize=None)
-def _device_normalize_s2d_fn(out_dtype, device):
+def _device_normalize_s2d_fn(out_dtype, out_sharding):
     from ..models.x3d_fold import s2d_pack
 
     def fn(clips_u8, flip, clip_mask, mean, std):
@@ -319,7 +319,9 @@ def _device_normalize_s2d_fn(out_dtype, device):
         x = x * clip_mask[:, :, None, None, None].astype(out_dtype)
         return s2d_pack(x)
 
-    return jax.jit(fn, out_shardings=_s2d_input_format(device))
+    if out_sharding is not None:
+        return jax.jit(fn, out_shardings=out_sharding)
+    return jax.jit(fn)
 
 
 def device_normalize_s2d(
@@ -329,12 +331,38 @@ def device_normalize_s2d(
     mean: Sequence[float] = CHARADES_MEAN,
     std: Sequence[float] = CHARADES_STD,
     out_dtype=jnp.float32,
+    mesh=None,
 ) -> jax.Array:
     """:func:`device_normalize` fused with the 2x2 space-to-depth pack,
     emitted directly in the stem conv's preferred parameter layout — the
     producer half of the ``stem_s2d_input`` fast path (models/x3d_fold.py).
-    Output: ``(B, T, H/2, W/2, 12)``."""
-    return _device_normalize_s2d_fn(jnp.dtype(out_dtype), jax.devices()[0])(
+    Output: ``(B, T, H/2, W/2, 12)``.
+
+    ``mesh``: emit the packed clips already batch-sharded over the mesh's
+    ``data`` axis (the layout pin composes with the sharding), so the fast
+    path survives data-parallel training — ``shard_batch`` then sees the
+    target sharding and leaves the array alone (VERDICT r04 #7).
+
+    ``CFN_S2D_PIN_LAYOUT=0`` disables the explicit stem-layout pin on the
+    output (XLA then relays out inside the consumer program)."""
+    import os
+
+    pin = (os.environ.get("CFN_S2D_PIN_LAYOUT", "1") == "1"
+           and jax.default_backend() == "tpu")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        if pin:
+            from jax.experimental.layout import Format, Layout
+
+            sharding = Format(Layout(major_to_minor=_S2D_MAJOR_TO_MINOR),
+                              sharding)
+    elif pin:
+        sharding = _s2d_input_format(jax.devices()[0])
+    else:
+        sharding = None
+    return _device_normalize_s2d_fn(jnp.dtype(out_dtype), sharding)(
         clips_u8, jnp.asarray(flip), jnp.asarray(clip_mask),
         jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32))
 

@@ -81,8 +81,12 @@ class FineNet(nn.Module):
             # kernels register batch-axis partitioning only — force plain.
             layout = "plain"
         if self.stem_s2d_input:
-            assert self.trunk_layout == "fold4", \
-                "stem_s2d_input requires trunk_layout='fold4'"
+            assert self.channel_pad <= 1, \
+                "stem_s2d_input is fold4-only; channel_pad > 1 forces the " \
+                "plain trunk (TP) — the two are mutually exclusive"
+            assert layout == "fold4" and not self.t_downsample, \
+                "stem_s2d_input requires the resolved folded stem " \
+                f"(layout={layout!r}, t_downsample={self.t_downsample})"
         fold1 = layout == "fold4" and not self.t_downsample
         if fold1:
             from ..ops.fold import from_fold4

@@ -55,7 +55,16 @@ def shard_batch(batch: Any, mesh: Mesh, leading_accum: bool = False) -> Any:
         return jax.tree.map(
             lambda a: jax.make_array_from_process_local_data(
                 sh, np.asarray(a)), batch)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+    def put(a):
+        # arrays a producer already committed to the target sharding (e.g.
+        # device_normalize_s2d(mesh=...) — layout-pinned) pass through
+        # untouched; device_put would reset their custom layout
+        if getattr(a, "sharding", None) == sh:
+            return a
+        return jax.device_put(a, sh)
+
+    return jax.tree.map(put, batch)
 
 
 def host_local_rows(arr: Any, axis: int = 0) -> np.ndarray:

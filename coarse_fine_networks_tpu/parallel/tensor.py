@@ -225,7 +225,7 @@ def tp_tower_apply(model, mesh: Mesh):
 
 
 def tp_param_bytes(variables: Any, mesh: Mesh) -> Tuple[int, int]:
-    """(replicated_bytes, max per-device sharded bytes) for the tower.
+    """(total_unsharded_bytes, max per-device sharded bytes) for the tower.
 
     The point of TP is memory: each device holds ``1/|model|`` of every
     sharded tensor.  Uses ``NamedSharding.shard_shape`` arithmetic — no

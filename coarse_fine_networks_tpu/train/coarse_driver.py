@@ -100,6 +100,9 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
     before propagating, and ``maybe_resume`` continues from it on restart
     (aux failure-recovery subsystem; the reference loses everything since
     its last manual 1000-step save)."""
+    from ..utils.hw import enable_compilation_cache
+
+    enable_compilation_cache()
     state_box = {"state": None, "sched": None}
     with preemption_guard(cfg, "coarse_fineFEAT_charades", state_box):
         return _run_impl(cfg, state_box)
@@ -122,10 +125,15 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     log.info("train %d val %d videos", len(train_loader.dataset.data),
              len(val_loader.dataset.data))
 
-    # stem_s2d_input: pre-s2d clips from device_normalize_s2d (single-device
-    # TPU fold4 fast path; the mesh's shard_batch re-lays-out, so gate it)
+    # stem_s2d_input: pre-s2d clips from device_normalize_s2d.  Composes
+    # with a single-process data-parallel mesh (the producer emits the clips
+    # batch-sharded, see iter_train_batches); multi-process hosts assemble
+    # global arrays from local shards, which the producer doesn't cover.
+    # TPU-backend-gated: forcing trunk_layout='fold4' on CPU would bypass
+    # auto-resolution and fail on non-16-divisible crops (ADVICE r4).
     use_s2d = (cfg.stem_s2d_input
-               and not (cfg.mesh_devices and cfg.mesh_devices > 1))
+               and jax.process_count() == 1
+               and jax.default_backend() == "tpu")
     model = CoarseNet(
         version=cfg.x3d_version, n_classes=cfg.num_classes, task="loc",
         dropout_rate=cfg.dropout, bn_splits=cfg.base_bn_splits,
@@ -189,7 +197,7 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
             if phase == "train":
                 epochs += 1
                 for mb, host_batches in iter_train_batches(train_loader, cfg,
-                                                           mesh):
+                                                           mesh, s2d=use_s2d):
                     step_i = int(state.step)
                     lr_val = sched.lr(step_i)
                     # the reference's lr_warmup writes the same LR into every

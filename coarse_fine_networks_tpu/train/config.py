@@ -47,13 +47,18 @@ class DriverConfig:
     resume: bool = True
     num_workers: int = 4
     prefetch: int = 4
+    device_prefetch: int = 2  # batches staged on-device ahead of the step
+    # (H2D + normalize/s2d producer in a background thread — input/compute
+    # overlap; 1 disables the lookahead but keeps the pipelined thread)
     pack_dir: "str | None" = None  # .cfnpack container dir (cli.pack_dataset);
     # per-video fallback to the JPEG frame layout when a pack is missing
     stem_s2d_input: bool = False   # coarse driver: feed the trunk pre-s2d
     # clips in the stem conv's preferred layout (device_normalize_s2d ->
     # CoarseNet(stem_s2d_input=True)); removes the in-step relayout-copy
-    # chain (~3 ms/step at the bench shape).  TPU fold4 single-device only
-    # (the sharded batch path re-lays-out under a mesh).
+    # chain (~3 ms/step at the bench shape).  TPU fold4, single-process only
+    # (under a single-process mesh the producer emits the clips already
+    # batch-sharded over `data`; multi-process falls back to the classic
+    # path).
     record_trajectory: bool = False  # drivers append (step, lr, loss) per
     # step + the periodic train-mAP readings to results — the in-repo
     # analogue of the reference's captured training log

@@ -42,6 +42,9 @@ def run(cfg: DriverConfig, save_dir: str, fine_ckpt: Optional[str] = None,
     hand ("SET 'TESTING' FOR BOTH, TO EXTRACT", ``extract_fineFEAT.py:80``);
     here both splits are swept (``extract_feat=True`` forces whole-video
     sampling either way)."""
+    from ..utils.hw import enable_compilation_cache
+
+    enable_compilation_cache()
     for k in FEAT_KEYS:
         os.makedirs(os.path.join(save_dir, k), exist_ok=True)
 

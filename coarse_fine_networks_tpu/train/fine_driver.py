@@ -122,6 +122,9 @@ def run(cfg: DriverConfig) -> Dict[str, float]:
     before propagating, and ``maybe_resume`` continues from it on restart
     (aux failure-recovery subsystem; the reference loses everything since
     its last manual 1000-step save)."""
+    from ..utils.hw import enable_compilation_cache
+
+    enable_compilation_cache()
     state_box = {"state": None, "sched": None}
     with preemption_guard(cfg, "fine_charades", state_box):
         return _run_impl(cfg, state_box)

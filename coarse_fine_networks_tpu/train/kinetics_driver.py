@@ -115,6 +115,9 @@ def make_class_eval_step(model):
 def run(cfg: DriverConfig) -> Dict[str, float]:
     """Preemption-guarded pretraining loop; ``cfg.anno`` points at the
     Kinetics-style JSON (see ``data/kinetics.py``)."""
+    from ..utils.hw import enable_compilation_cache
+
+    enable_compilation_cache()
     state_box = {"state": None, "sched": None}
     with preemption_guard(cfg, PREFIX, state_box):
         return _run_impl(cfg, state_box)

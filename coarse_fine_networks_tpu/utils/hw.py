@@ -95,3 +95,24 @@ def utilization(flops: float, bytes_moved: float, step_seconds: float,
         "hbm_bw_util": bytes_moved / step_seconds / peaks.hbm_bw,
         "chip": peaks.name,
     }
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    The coarse train step is a ~1.3 TFLOP program whose cold XLA compile is
+    minutes of host time; the cache brings every later driver/bench start to
+    seconds.  Default location: ``.jax_cache`` at the repo root (override
+    with ``JAX_COMPILATION_CACHE_DIR``).  Only programs that took >5 s to
+    compile are cached, so the CPU test tier stays uncached.
+    """
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return cache_dir
