@@ -96,7 +96,11 @@ def convert_torch_state_dict(
     for k, v in state_dict.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        sd[k] = np.asarray(v)
+        # own the memory: torch's .numpy() returns a VIEW sharing storage
+        # with the live tensor — without the copy, a later optimizer.step()
+        # on the torch model silently mutates the converted tree (JAX only
+        # materialises the leaves on device at first use)
+        sd[k] = np.array(v, copy=True)
 
     for key, val in sd.items():
         if key.endswith("num_batches_tracked"):
