@@ -34,6 +34,10 @@ _LARGE_BYTES = 32 << 20
 # buffers per queued batch
 _MIN_SMALL = [0]
 _MIN_LARGE = [0]
+# extra slots reserved by downstream consumers that extend the in-flight
+# window past the loader's own bound (the device-prefetch stage holds
+# `depth` host batches alive while their H2D runs)
+_EXTRA = [0]
 
 
 def ensure_slots(small: int, large: int) -> None:
@@ -44,12 +48,21 @@ def ensure_slots(small: int, large: int) -> None:
     _MIN_LARGE[0] = max(_MIN_LARGE[0], int(large))
 
 
+def reserve_extra(n: int) -> None:
+    """Downstream pipeline stages that keep borrowed batches alive beyond
+    the loader's own window (e.g. :class:`..data.device_prefetch
+    .DevicePrefetcher` with lookahead ``depth``) must reserve that many
+    extra slots, or the rings can wrap and overwrite a live batch."""
+    _EXTRA[0] = max(_EXTRA[0], int(n))
+
+
 def _default_slots(nbytes: int) -> Tuple[int, int]:
     spec = os.environ.get("CFN_POOL_SLOTS")
     if spec is not None:
         n = int(spec)
         return (n, n)
-    return (max(8, _MIN_LARGE[0]), max(64, _MIN_SMALL[0]))  # (large, small)
+    return (max(8, _MIN_LARGE[0]) + _EXTRA[0],
+            max(64, _MIN_SMALL[0]) + _EXTRA[0])  # (large, small)
 
 
 class ArrayRing:

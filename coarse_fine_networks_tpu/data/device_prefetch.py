@@ -36,9 +36,15 @@ class DevicePrefetcher:
 
     def __init__(self, source: Iterable, put_fn: Callable[[Any], Any],
                  depth: int = 2):
+        from . import bufpool
+
         self._source = source
         self._put = put_fn
         self._depth = max(1, depth)
+        # this stage keeps up to depth+1 host batches alive past the
+        # loader's own in-flight window — reserve pool slots so the buffer
+        # rings can't wrap onto a live batch
+        bufpool.reserve_extra(self._depth + 1)
 
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self._depth)
