@@ -23,7 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coarse_fine_networks_tpu.utils.hw import sync
+from coarse_fine_networks_tpu.utils.hw import enable_compilation_cache, sync
+
+enable_compilation_cache()
 
 B = int(os.environ.get("BENCH_BATCH", 8))
 T = int(os.environ.get("BENCH_T", 64))

@@ -174,7 +174,7 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
     train_step = make_train_step(
         model, align_corners=cfg.align_corners, momentum=cfg.momentum,
         weight_decay=cfg.weight_decay, fusion_lr_mult=fusion_mult,
-        accum_steps=cfg.num_steps_per_update,
+        accum_steps=cfg.num_steps_per_update, grad_clip=cfg.grad_clip,
     )
     eval_step = make_eval_step(eval_model, align_corners=cfg.align_corners)
     # hoisted out of the val phase: rebuilding this jit per validation would

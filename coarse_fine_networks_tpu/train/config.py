@@ -39,6 +39,9 @@ class DriverConfig:
     base_bn_splits: int = 1
     weight_decay: float = 1e-5
     momentum: float = 0.9
+    # optional global-L2 gradient clip (torch clip_grad_norm_ semantics);
+    # None = reference parity (the reference never clips)
+    grad_clip: Optional[float] = None
     train_phases_per_val: int = 4  # train_fine.py:147 (coarse: 2)
     num_steps_per_update: int = 1  # gradient accumulation (train_fine.py:65)
     ckpt_every: int = 1000

@@ -177,7 +177,8 @@ def _run_impl(cfg: DriverConfig, state_box) -> Dict[str, float]:
         return make_train_step(m, align_corners=cfg.align_corners,
                                momentum=cfg.momentum,
                                weight_decay=cfg.weight_decay,
-                               accum_steps=cfg.num_steps_per_update)
+                               accum_steps=cfg.num_steps_per_update,
+                               grad_clip=cfg.grad_clip)
 
     train_step = build_train_step(model)
     eval_step = make_eval_step(model, align_corners=cfg.align_corners)

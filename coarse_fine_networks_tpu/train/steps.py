@@ -58,6 +58,7 @@ def make_train_step(
     fusion_lr_mult: Optional[float] = None,
     donate: bool = True,
     accum_steps: int = 1,
+    grad_clip: Optional[float] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -79,6 +80,13 @@ def make_train_step(
         ``loss.backward()`` per micro-batch + one ``optimizer.step()``), and
         BN running stats chain through the micro-batches in order, like
         ``num_steps_per_update`` sequential forwards do in torch.
+      grad_clip: optional global-L2-norm gradient clip applied before the
+        SGD update (``torch.nn.utils.clip_grad_norm_`` semantics: one scale
+        factor ``clip / max(clip, |g|)`` over the whole grad pytree).  The
+        reference never clips, so the default is off; it exists to bound the
+        BN-scale-invariant drift of the coarse stream's fusion bias heads,
+        which otherwise puts the usable fusion LR on a stability cliff
+        (see tests/test_training_trajectory.py).
     """
 
     scale_fn = (
@@ -120,6 +128,15 @@ def make_train_step(
             # sum_i grad(loss_i / num_steps_per_update)
             grads = jax.tree.map(lambda g: g / accum_steps, gsum)
             total, cls, loc = tots.mean(), clss.mean(), locs.mean()
+
+        if grad_clip is not None:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree.leaves(grads)))
+            gscale = (grad_clip / jnp.maximum(gnorm, grad_clip)).astype(
+                jnp.float32)
+            grads = jax.tree.map(lambda g: (g * gscale).astype(g.dtype),
+                                 grads)
 
         lr_scales = _lr_scales(state.params, scale_fn)
         if lr_fusion is None:

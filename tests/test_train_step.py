@@ -215,6 +215,51 @@ def test_fusion_lr_traced_override():
         np.asarray(s_flat.params["head"]["kernel"]), rtol=1e-7)
 
 
+def test_grad_clip_matches_torch_clip_grad_norm():
+    """``grad_clip`` reproduces ``torch.nn.utils.clip_grad_norm_``: one
+    global-L2 scale on the whole grad pytree, applied before momentum/wd.
+    With a clip far above the gradient norm the step is unchanged; with a
+    tiny clip the update direction is preserved and the first-step update
+    magnitude scales by exactly ``clip / |g|`` (first step: buf = g, no wd
+    interaction with the scaled grad beyond the shared formula)."""
+    rng = np.random.RandomState(0)
+    model, batch, state = _tiny_fusion_setup(rng)
+    key = jax.random.PRNGKey(1)
+    lr = jnp.asarray(0.1, jnp.float32)
+
+    step_plain = make_train_step(model, donate=False, weight_decay=0.0)
+    step_huge = make_train_step(model, donate=False, weight_decay=0.0,
+                                grad_clip=1e9)
+    clip = 1e-3
+    step_tiny = make_train_step(model, donate=False, weight_decay=0.0,
+                                grad_clip=clip)
+
+    s_plain, _ = step_plain(state, batch, lr, key)
+    s_huge, _ = step_huge(state, batch, lr, key)
+    s_tiny, _ = step_tiny(state, batch, lr, key)
+
+    for k in ("rw_proj", "head"):
+        np.testing.assert_allclose(
+            np.asarray(s_plain.params[k]["kernel"]),
+            np.asarray(s_huge.params[k]["kernel"]), rtol=1e-6)
+
+    # the tiny-clip update is the plain update scaled by clip/|g| globally
+    gnorm = np.sqrt(sum(
+        float(jnp.sum(jnp.square(
+            (p0 - p1).astype(jnp.float32) / lr)))
+        for p0, p1 in zip(jax.tree.leaves(state.params),
+                          jax.tree.leaves(s_plain.params))))
+    expect = clip / gnorm
+    p0 = np.asarray(state.params["rw_proj"]["kernel"])
+    d_plain = np.asarray(s_plain.params["rw_proj"]["kernel"]) - p0
+    d_tiny = np.asarray(s_tiny.params["rw_proj"]["kernel"]) - p0
+    # rtol is loose only because |g| is re-derived from f32 param deltas
+    # (catastrophic cancellation at 1e-6-scale updates), not because the
+    # clip math is approximate
+    np.testing.assert_allclose(d_tiny, d_plain * expect, rtol=2e-2,
+                               atol=1e-10)
+
+
 def test_grad_accumulation_matches_manual_microbatches():
     """accum_steps=2 over two stacked micro-batches == manually summing the
     micro-grads of loss_i/accum with BN stats chained in order, then one SGD
