@@ -47,12 +47,27 @@ HW = int(os.environ.get("BENCH_HW", 224))
 TF = int(os.environ.get("BENCH_TF", 128))     # fine-feature cap (collate)
 TL = int(os.environ.get("BENCH_TL", 640))     # label length
 N_CLASSES = 157
-STEPS = int(os.environ.get("BENCH_STEPS", 10))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _clips_layout_str(clips, s2d_input: bool) -> str:
+    """Actual device layout of the s2d producer's output ('off' when the
+    fast path is disabled).  The stem-layout pin is best-effort: executables
+    restored from the compilation cache on the tunneled backend drop custom
+    output layouts (PERF.md round-5), in which case the step absorbs a ~3 ms
+    in-program relayout copy — this makes the regression visible in the
+    parsed metrics."""
+    if not s2d_input:
+        return "off"
+    try:
+        return str(clips.format.layout.major_to_minor)
+    except Exception:
+        return "unknown"
 
 
 def bench_fine_forward():
@@ -446,6 +461,12 @@ def main():
         "init_s": round(init_s, 1),
         "compile_s": round(lower_s + compile_s, 1),
         "first_step_s": round(first_step_s, 1),
+        # the stem-layout pin on the s2d producer is best-effort: executables
+        # restored from the compilation cache on the tunneled backend drop
+        # custom output layouts (PERF.md round-5), in which case the step
+        # absorbs a ~3 ms in-program relayout copy.  Report what actually
+        # happened so a layout regression is visible in the parsed metrics.
+        "s2d_clips_layout": _clips_layout_str(batch["clips"], s2d_input),
         **extra,
     }))
 

@@ -42,8 +42,23 @@ def build_step():
     from coarse_fine_networks_tpu.train import TrainState, make_train_step
 
     rng = np.random.RandomState(0)
+    # PROFILE_S2D=1 profiles the exact program bench.py measures: pre-s2d
+    # clips from the device_normalize_s2d producer (PERF.md round-4).
+    s2d_input = (os.environ.get("PROFILE_S2D", "1") == "1"
+                 and jax.default_backend() == "tpu")
+    if s2d_input:
+        from coarse_fine_networks_tpu.data.transforms import (
+            device_normalize_s2d,
+        )
+
+        u8 = jnp.asarray(rng.randint(0, 256, (B, T, HW, HW, 3)), jnp.uint8)
+        clips = device_normalize_s2d(u8, np.zeros(B, bool),
+                                     np.ones((B, T), np.float32),
+                                     out_dtype=DTYPE)
+    else:
+        clips = jnp.asarray(rng.rand(B, T, HW, HW, 3), DTYPE)
     batch = {
-        "clips": jnp.asarray(rng.rand(B, T, HW, HW, 3), DTYPE),
+        "clips": clips,
         "feats": {
             k: jnp.asarray(rng.rand(B, TF, 7, 7, c), jnp.float32)
             for k, c in [("layer1", 24), ("layer2", 48), ("layer3", 96),
@@ -58,7 +73,9 @@ def build_step():
                       t_pool="grid", learned_mixing=True, is_mixing=True,
                       compute_dtype=DTYPE,
                       stem_s2d=True,
-                      trunk_layout=os.environ.get("BENCH_TRUNK", "auto"))
+                      stem_s2d_input=s2d_input,
+                      trunk_layout=("fold4" if s2d_input else
+                                    os.environ.get("BENCH_TRUNK", "auto")))
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, batch["clips"],
                            batch["feats"], batch["feat_mask"], batch["meta"],
@@ -142,7 +159,12 @@ def main():
     step, state, batch = build_step()
     lr = jnp.asarray(0.02)
     key = jax.random.PRNGKey(0)
-    # compile + warm
+    # AOT compile and run the executable directly — same path as bench.py
+    # (the jit dispatch path re-traces/compiles a second program, and on the
+    # tunneled backend has crashed at runtime for the s2d-input program when
+    # the server-side executable cache returns a different-layout build).
+    step = step.lower(state, batch, lr, key).compile()
+    # warm
     for _ in range(2):
         state, metrics = step(state, batch, lr, key)
     sync(metrics["loss"])

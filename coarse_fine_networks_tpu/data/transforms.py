@@ -344,7 +344,15 @@ def device_normalize_s2d(
     target sharding and leaves the array alone (VERDICT r04 #7).
 
     ``CFN_S2D_PIN_LAYOUT=0`` disables the explicit stem-layout pin on the
-    output (XLA then relays out inside the consumer program)."""
+    output (XLA then relays out inside the consumer program).
+
+    The pin is BEST-EFFORT: executables restored from the persistent
+    compilation cache on the tunneled TPU backend drop custom output
+    layouts (measured, PERF.md round-5), so the emitted array may come back
+    in the default layout.  That is purely a performance event — the train
+    step then contains one ~3 ms relayout copy of the clips tensor —
+    never a correctness one; callers must not assume the pinned layout.
+    ``bench.py`` reports the actual layout as ``s2d_clips_layout``."""
     import os
 
     pin = (os.environ.get("CFN_S2D_PIN_LAYOUT", "1") == "1"
